@@ -1,0 +1,92 @@
+"""End-to-end benchmark: queries/sec through the full search pipeline.
+
+Mirrors the reference's serving benchmark protocol: batched queries, 5-batch
+warmup excluded, Q/sec reported (ref: run_demo.py:318-356 eval_request).
+The pipeline measured is query encoding (BERT-base query towers) + flat MIPS
+over a synthetic phrase corpus + two-stage span rescore — the full hot path.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from densephrases_tpu.index.search import MIPS
+    from densephrases_tpu.index.store import DocMeta, StoreWriter
+    from densephrases_tpu.models.bert import BertConfig
+    from densephrases_tpu.models.encoder import embed_query, init_encoder_params
+    from densephrases_tpu.ops.quant import float_to_int8
+    import functools
+    import tempfile
+
+    config = BertConfig()  # BERT-base geometry
+    params = init_encoder_params(jax.random.PRNGKey(0), config)
+
+    # ---- synthetic corpus: 200k phrase vectors over 2k docs (768-d int8)
+    rng = np.random.default_rng(0)
+    n_docs, vecs_per_doc, d = 2000, 100, config.hidden_size
+    with tempfile.TemporaryDirectory() as tmp:
+        writer = StoreWriter(tmp + "/store", d)
+        for doc in range(n_docs):
+            vecs = rng.normal(-2, 1, (vecs_per_doc, d)).astype(np.float32)
+            writer.add_doc(
+                DocMeta(
+                    doc_id=doc, title=f"doc{doc}",
+                    context=" ".join(["word"] * (vecs_per_doc + 2)),
+                    word2char_start=np.arange(vecs_per_doc, dtype=np.int32) * 5,
+                    word2char_end=np.arange(vecs_per_doc, dtype=np.int32) * 5 + 4,
+                    f2o_start=np.arange(vecs_per_doc, dtype=np.int32),
+                ),
+                float_to_int8(vecs),
+            )
+        store = writer.finalize()
+        mips = MIPS(store)
+
+        # ---- query encoding fn (jitted)
+        @functools.partial(jax.jit)
+        def encode(params, ids, mask, tt):
+            qs, qe = embed_query(params, config, ids, mask, tt,
+                                 deterministic=True)
+            return jnp.concatenate([qs, qe], axis=1)
+
+        batch, lq, top_k = 64, 32, 10
+        ids = jnp.asarray(rng.integers(5, config.vocab_size, (batch, lq)), jnp.int32)
+        mask = jnp.ones((batch, lq), jnp.int32)
+        tt = jnp.zeros((batch, lq), jnp.int32)
+
+        def one_batch():
+            qvec = np.asarray(encode(params, ids, mask, tt))
+            return mips.search(qvec, top_k=top_k, aggregate=True)
+
+        # Warmup (5 batches, excluded — ref: run_demo.py:331-335)
+        for _ in range(5):
+            one_batch()
+
+        n_batches = 15
+        t0 = time.perf_counter()
+        for _ in range(n_batches):
+            one_batch()
+        elapsed = time.perf_counter() - t0
+
+    qps = n_batches * batch / elapsed
+    # Baseline context: the reference doesn't publish Q/sec; DrQA-style
+    # FAISS-CPU systems at this corpus scale serve O(10-50) q/s. Use 50 q/s
+    # as the conservative reference point until a measured baseline lands.
+    baseline_qps = 50.0
+    print(json.dumps({
+        "metric": "queries_per_sec_batch64_e2e",
+        "value": round(qps, 2),
+        "unit": "q/s",
+        "vs_baseline": round(qps / baseline_qps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,163 @@
+"""Phrase dump: run the phrase tower over a corpus and write the store.
+
+TPU-native equivalent of the offline dump pipeline
+(ref: generate_phrase_vecs.py:45-147 streaming forward;
+embed_utils.py:201-301 writer with 10 processes + 10 threads). Here the
+forward is one jitted batched function (windows from many docs batched
+together), filtering/quantization run as vectorized host numpy, and the
+store writer is the flat resumable StoreWriter — no queue pipeline needed
+because the per-doc metadata assembly is exact-offset bookkeeping, not
+alignment heuristics.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densephrases_tpu.data.features import (
+    ContextFeatures,
+    DocContext,
+    convert_context_to_features,
+)
+from densephrases_tpu.data.tokenization import WordPieceTokenizer
+from densephrases_tpu.index.store import DocMeta, PhraseStore, StoreWriter
+from densephrases_tpu.models.bert import BertConfig
+from densephrases_tpu.models.encoder import embed_phrase
+from densephrases_tpu.ops.quant import float_to_int8
+
+logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "attn_impl"))
+def _phrase_forward(params, input_ids, attention_mask, token_type_ids,
+                    *, config: BertConfig, attn_impl: str = "auto"):
+    start, _end, f_start, f_end = embed_phrase(
+        params, config, input_ids, attention_mask, token_type_ids,
+        deterministic=True, attn_impl=attn_impl)
+    return start, f_start, f_end
+
+
+def filter_and_quantize(doc_vecs: np.ndarray, f_start: np.ndarray,
+                        f_end: np.ndarray, threshold: float,
+                        offset: float, scale: float):
+    """Keep the union of start/end filter survivors
+    (ref: embed_utils.py:117-138). Returns (codes int8, f2o int32)."""
+    keep = (f_start > threshold) | (f_end > threshold)
+    idxs = np.nonzero(keep)[0]
+    if len(idxs) == 0:
+        idxs = np.asarray([0], np.int64)  # keep one vector (ref behavior)
+    codes = float_to_int8(doc_vecs[idxs], offset, scale)
+    return codes, idxs.astype(np.int32)
+
+
+def dump_phrases(
+    params,
+    config: BertConfig,
+    tokenizer: WordPieceTokenizer,
+    docs: Iterable[dict],
+    store_path: str,
+    *,
+    max_seq_length: int = 512,
+    filter_threshold: float = -1e8,
+    batch_size: int = 16,
+    offset: float = -2.0,
+    scale: float = 20.0,
+    attn_impl: str = "auto",
+    append_title: bool = True,
+) -> PhraseStore:
+    """docs: iterable of {'doc_id': int, 'title': str, 'paragraphs': [str]}.
+
+    Windows from consecutive docs are batched together for MXU efficiency;
+    per-doc vectors are reassembled on the host, filtered, quantized and
+    appended to the store. Resume: docs already in the store are skipped
+    (ref: generate_phrase_vecs.py:64-71).
+    """
+    hidden = config.hidden_size
+    writer = StoreWriter(store_path, hidden, offset, scale)
+
+    # Build features for all docs (host-side, cheap relative to encode).
+    all_feats: List[ContextFeatures] = []
+    doc_ctxs: Dict[int, DocContext] = {}
+    doc_order: List[int] = []
+    for doc in docs:
+        did = int(doc["doc_id"])
+        if writer.has_doc(did):
+            continue
+        feats, doc_ctx = convert_context_to_features(
+            did, doc.get("title", ""), doc["paragraphs"], tokenizer,
+            max_seq_length=max_seq_length, append_title=append_title)
+        all_feats.extend(feats)
+        doc_ctxs[did] = doc_ctx
+        doc_order.append(did)
+
+    if not all_feats:
+        return writer.finalize()
+
+    # Batched forward over all windows (padding the tail batch).
+    n = len(all_feats)
+    starts = np.zeros((n, max_seq_length, hidden), np.float32)
+    fs = np.zeros((n, max_seq_length), np.float32)
+    fe = np.zeros((n, max_seq_length), np.float32)
+    for b0 in range(0, n, batch_size):
+        chunk = all_feats[b0: b0 + batch_size]
+        pad_to = batch_size
+        ids = np.stack([f.input_ids for f in chunk])
+        am = np.stack([f.attention_mask for f in chunk])
+        tt = np.stack([f.token_type_ids for f in chunk])
+        if len(chunk) < pad_to:
+            extra = pad_to - len(chunk)
+            ids = np.concatenate([ids, np.zeros((extra,) + ids.shape[1:], ids.dtype)])
+            am = np.concatenate([am, np.zeros((extra,) + am.shape[1:], am.dtype)])
+            tt = np.concatenate([tt, np.zeros((extra,) + tt.shape[1:], tt.dtype)])
+        s, f_s, f_e = _phrase_forward(
+            params, jnp.asarray(ids), jnp.asarray(am), jnp.asarray(tt),
+            config=config, attn_impl=attn_impl)
+        s, f_s, f_e = np.asarray(s), np.asarray(f_s), np.asarray(f_e)
+        starts[b0: b0 + len(chunk)] = s[: len(chunk)]
+        fs[b0: b0 + len(chunk)] = f_s[: len(chunk)]
+        fe[b0: b0 + len(chunk)] = f_e[: len(chunk)]
+
+    # Reassemble per doc: concat content-token vectors across its windows.
+    feat_by_doc: Dict[int, List[int]] = {}
+    for i, f in enumerate(all_feats):
+        feat_by_doc.setdefault(f.doc_id, []).append(i)
+
+    for did in doc_order:
+        rows = feat_by_doc.get(did, [])
+        vec_parts, fs_parts, fe_parts = [], [], []
+        for i in sorted(rows, key=lambda i: all_feats[i].doc_token_offset):
+            f = all_feats[i]
+            c0, c1 = f.content_start, f.content_start + f.content_len
+            vec_parts.append(starts[i, c0:c1])
+            fs_parts.append(fs[i, c0:c1])
+            fe_parts.append(fe[i, c0:c1])
+        if not vec_parts:
+            continue
+        doc_vecs = np.concatenate(vec_parts, axis=0)
+        doc_fs = np.concatenate(fs_parts, axis=0)
+        doc_fe = np.concatenate(fe_parts, axis=0)
+        codes, f2o = filter_and_quantize(
+            doc_vecs, doc_fs, doc_fe, filter_threshold, offset, scale)
+
+        ctx = doc_ctxs[did]
+        # word2char maps are per *token* position (ref: embed_utils.py:89-105):
+        w2c_start = ctx.word_char_start[ctx.tok2word]
+        w2c_end = ctx.word_char_end[ctx.tok2word]
+        meta = DocMeta(
+            doc_id=did, title=ctx.title, context=ctx.context,
+            word2char_start=w2c_start.astype(np.int32),
+            word2char_end=w2c_end.astype(np.int32),
+            f2o_start=f2o,
+        )
+        writer.add_doc(meta, codes)
+
+    store = writer.finalize()
+    logger.info("dumped %d docs, %d vectors to %s",
+                store.num_docs, store.n_vecs, store_path)
+    return store

@@ -1,0 +1,167 @@
+"""Flat (exact) MIPS over the int8 phrase store.
+
+Replaces FAISS ``IndexFlatIP`` search (the reference's ``fine_quant='none'``
+path, ref: build_phrase_index.py:117-118, index.py:189-202) with an on-device
+engine:
+
+- The int8 corpus lives in TPU HBM, sharded along rows across the mesh.
+- Scoring dequantizes on the fly *inside the matmul*:
+  ``q · (c/scale + offset) = (q · c)/scale + offset·sum(q)`` — so the stored
+  int8 codes are multiplied directly (cast to bf16 for the MXU) and the
+  affine correction is a rank-1 update. No dequantized copy of the corpus
+  ever exists.
+- A ``lax.scan`` over corpus chunks keeps a running top-k, so the full
+  [B, N] score matrix is never materialized in HBM.
+- Multi-chip: ``shard_map`` over the mesh axis; each device scans its shard,
+  then per-shard top-k candidates are ``all_gather``ed and re-merged
+  (the ICI-collective equivalent of FAISS's result-heap merge).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
+from densephrases_tpu.ops.topk import topk_merge
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "chunk"))
+def _scan_topk(queries, codes, n_valid, offset, scale, *, top_k: int, chunk: int):
+    """Running top-k MIPS over one device's corpus shard.
+
+    queries: [B, D] f32. codes: [C, chunk, D] int8 (C*chunk rows, padded).
+    n_valid: scalar — rows >= n_valid are padding and masked out.
+    Returns (scores [B, K], ids [B, K] int32 local row ids).
+    """
+    b, d = queries.shape
+    qsum = queries.sum(-1) * offset  # [B] rank-1 dequant correction
+    qbf = queries.astype(jnp.bfloat16)
+    col = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+
+    def body(carry, c_chunk):
+        best_s, best_i, base = carry
+        s = jax.lax.dot_general(
+            qbf, c_chunk.astype(jnp.bfloat16),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [B, chunk]
+        s = s / scale + qsum[:, None]
+        ids = base + col  # [1, chunk]
+        s = jnp.where(ids < n_valid, s, NEG_INF)
+        cat_s = jnp.concatenate([best_s, s], axis=-1)
+        cat_i = jnp.concatenate([best_i, jnp.broadcast_to(ids, (b, chunk))], axis=-1)
+        vals, pos = jax.lax.top_k(cat_s, top_k)
+        new_i = jnp.take_along_axis(cat_i, pos, axis=-1)
+        return (vals, new_i, base + chunk), None
+
+    init = (
+        jnp.full((b, top_k), NEG_INF, jnp.float32),
+        jnp.zeros((b, top_k), jnp.int32),
+        jnp.int32(0),
+    )
+    (vals, ids, _), _ = jax.lax.scan(body, init, codes)
+    return vals, ids
+
+
+class FlatIndex:
+    """Exact MIPS index over int8 codes, optionally sharded over a mesh axis."""
+
+    def __init__(self, codes: np.ndarray, offset: float = DEFAULT_OFFSET,
+                 scale: float = DEFAULT_SCALE, mesh: Optional[Mesh] = None,
+                 shard_axis: str = "shard", chunk: int = 4096):
+        assert codes.dtype == np.int8
+        self.n_total, self.dim = codes.shape
+        self.offset = float(offset)
+        self.scale = float(scale)
+        self.mesh = mesh
+        self.shard_axis = shard_axis
+        n_dev = mesh.shape[shard_axis] if mesh is not None else 1
+        chunk = min(chunk, max(512, _round_up(self.n_total // max(n_dev, 1) or 1, 8)))
+        self.chunk = chunk
+
+        # Pad so every device gets an equal whole number of chunks.
+        self.shard_rows = _round_up(max(self.n_total // n_dev + (self.n_total % n_dev > 0), 1), chunk)
+        padded = np.zeros((self.shard_rows * n_dev, self.dim), np.int8)
+        padded[: self.n_total] = codes
+        stacked = padded.reshape(n_dev, self.shard_rows // chunk, chunk, self.dim)
+
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P(shard_axis))
+            self.codes = jax.device_put(stacked, sharding)
+        else:
+            self.codes = jax.device_put(stacked)
+        self._search_fn = self._build_search_fn()
+
+    def _build_search_fn(self):
+        offset, scale = self.offset, self.scale
+        shard_rows, chunk = self.shard_rows, self.chunk
+        n_total = self.n_total
+
+        if self.mesh is None:
+            def search_fn(queries, top_k: int):
+                vals, ids = _scan_topk(
+                    queries, self.codes[0], jnp.int32(n_total), offset, scale,
+                    top_k=top_k, chunk=chunk)
+                return vals, ids.astype(jnp.int64)
+            return search_fn
+
+        mesh, axis = self.mesh, self.shard_axis
+        # NOTE: the new jax.shard_map API hits an internal lowering KeyError on
+        # the axon TPU platform (jax 0.9.0); the experimental entry point works
+        # on both cpu and tpu, so keep it until the platform catches up.
+        from jax.experimental.shard_map import shard_map
+
+        fn_cache = {}
+
+        def build(top_k: int):
+            def sharded(queries, codes):
+                shard_id = jax.lax.axis_index(axis)
+                base = shard_id.astype(jnp.int64) * shard_rows
+                n_valid = jnp.clip(n_total - base, 0, shard_rows).astype(jnp.int32)
+                vals, ids = _scan_topk(queries, codes[0], n_valid, offset, scale,
+                                       top_k=top_k, chunk=chunk)
+                gids = ids.astype(jnp.int64) + base
+                # Gather every shard's candidates and merge (ICI collective).
+                all_vals = jax.lax.all_gather(vals, axis)  # [S, B, K]
+                all_ids = jax.lax.all_gather(gids, axis)
+                m_vals, m_ids = topk_merge(
+                    jnp.moveaxis(all_vals, 0, 1), jnp.moveaxis(all_ids, 0, 1), top_k)
+                return m_vals, m_ids
+
+            return jax.jit(shard_map(
+                sharded,
+                mesh=mesh,
+                in_specs=(P(), P(axis)),
+                out_specs=(P(), P()),
+                check_rep=False,
+            ))
+
+        def search_fn(queries, top_k: int):
+            if top_k not in fn_cache:
+                fn_cache[top_k] = build(top_k)
+            return fn_cache[top_k](queries, self.codes)
+
+        return search_fn
+
+    def search(self, queries, top_k: int = 10):
+        """queries: [B, D] float32 → (scores [B, K] f32, ids [B, K] int64)."""
+        queries = jnp.asarray(queries, jnp.float32)
+        k = min(top_k, self.n_total)
+        vals, ids = self._search_fn(queries, k)
+        if k < top_k:  # pad to requested k for static downstream shapes
+            pad = top_k - k
+            vals = jnp.concatenate([vals, jnp.full((vals.shape[0], pad), NEG_INF)], -1)
+            ids = jnp.concatenate([ids, jnp.zeros((ids.shape[0], pad), ids.dtype)], -1)
+        return np.asarray(vals), np.asarray(ids)

@@ -1,0 +1,324 @@
+"""MIPS: the online phrase search engine (two-stage search + aggregation).
+
+TPU-native re-design of the reference ``MIPS`` class
+(ref: densephrases/index.py:23-482):
+
+stage 1 — ``search_dense``: stack [query_start; query_end] rows and run one
+  batched MIPS over the index (ref: index.py:189-218). Here the index is the
+  on-device FlatIndex (or IVF-PQ later), and id→(doc, word) decoding is a
+  vectorized binary search over doc bases instead of the idx2id HDF5 lookup.
+
+stage 2 — ``search_phrase``: for every start hit, score candidate ends within
+  ``max_answer_length`` filtered positions (and symmetrically starts for end
+  hits) (ref: index.py:220-422). The reference loops in Python over
+  ``faiss.reconstruct()`` per candidate (ref: index.py:281-300) — its main
+  serve-time bottleneck. Because our store is a flat position-addressable
+  array, the whole rescore is ONE jitted device function: a windowed gather
+  ``vecs[hit + i]``, fused int8 dequant, one einsum against the query vectors,
+  validity masking from the global f2o array, and an argmax.
+
+OPQ note: when the store holds rotated codes (c = R·x), we rotate the *query*
+once per batch instead of rotating every candidate vector
+(ref rotates candidates: index.py:338-345); identical math, B·D² instead of
+B·K·L·D² work.
+
+Aggregation (``opt1``–``opt4`` dedup strategies) and context-window adjustment
+mirror ref: index.py:167-187,424-448 on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import re
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densephrases_tpu.eval.metrics import normalize_answer
+from densephrases_tpu.index.flat import FlatIndex
+from densephrases_tpu.index.store import PhraseStore
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = -1e9
+SCORE_FLOOR = -1e5  # host-side filter for masked/dummy results (ref: index.py:420)
+
+
+@functools.partial(jax.jit, static_argnames=("max_answer_length",))
+def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
+                   vecs, f2o, doc_end_row, doc_base_row, offset, scale,
+                   *, max_answer_length: int):
+    """Constrained span rescoring for both anchor directions, on device.
+
+    query_start/query_end: [B, D] (already OPQ-rotated if applicable).
+    s_gids/e_gids: [B, K] global row ids of start/end hits.
+    s_scores/e_scores: [B, K] their MIPS scores.
+    Returns per-direction best partner offsets, joint scores, and partner
+    vectors (for query-side fine-tuning, ref: index.py:380-389).
+    """
+    n = vecs.shape[0]
+    L = max_answer_length
+
+    def gather_window(gids, offsets):
+        win = gids[..., None] + offsets  # [B, K, L]
+        wc = jnp.clip(win, 0, n - 1)
+        v = vecs[wc].astype(jnp.float32) / scale + offset  # [B, K, L, D]
+        return win, wc, v
+
+    up = jnp.arange(L)
+    down = jnp.arange(-(L - 1), 1)
+
+    # --- ends for start hits (ref: index.py:323-346)
+    win_e, wc_e, evecs = gather_window(s_gids, up)
+    dist_e = f2o[wc_e] - f2o[jnp.clip(s_gids, 0, n - 1)][..., None]
+    valid_e = (
+        (win_e < doc_end_row[jnp.clip(s_gids, 0, n - 1)][..., None])
+        & (win_e >= 0)
+        & (dist_e >= 0) & (dist_e <= L)
+    )
+    e_part = jnp.einsum("bkld,bd->bkl", evecs, query_end)
+    joint_e = s_scores[..., None] + e_part + NEG_INF * (~valid_e)
+    best_e = jnp.argmax(joint_e, axis=-1)  # [B, K] offset of best end
+    best_e_score = jnp.max(joint_e, axis=-1)
+    best_e_vec = jnp.take_along_axis(
+        evecs, best_e[..., None, None].astype(jnp.int32), axis=2)[:, :, 0]
+
+    # --- starts for end hits (ref: index.py:348-371)
+    win_s, wc_s, svecs = gather_window(e_gids, down)
+    dist_s = f2o[jnp.clip(e_gids, 0, n - 1)][..., None] - f2o[wc_s]
+    valid_s = (
+        (win_s >= doc_base_row[jnp.clip(e_gids, 0, n - 1)][..., None])
+        & (win_s >= 0)
+        & (dist_s >= 0) & (dist_s <= L)
+    )
+    s_part = jnp.einsum("bkld,bd->bkl", svecs, query_start)
+    joint_s = e_scores[..., None] + s_part + NEG_INF * (~valid_s)
+    best_s = jnp.argmax(joint_s, axis=-1)
+    best_s_score = jnp.max(joint_s, axis=-1)
+    best_s_vec = jnp.take_along_axis(
+        svecs, best_s[..., None, None].astype(jnp.int32), axis=2)[:, :, 0]
+
+    # anchor vectors themselves (start vec of the start hit, end vec of end hit)
+    anchor_s_vec = vecs[jnp.clip(s_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
+    anchor_e_vec = vecs[jnp.clip(e_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
+
+    return {
+        "end_offset": best_e, "joint_from_start": best_e_score,
+        "end_vec_for_start": best_e_vec, "start_vec_anchor": anchor_s_vec,
+        "start_offset": best_s - (L - 1), "joint_from_end": best_s_score,
+        "start_vec_for_end": best_s_vec, "end_vec_anchor": anchor_e_vec,
+    }
+
+
+_SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(\[])")
+
+
+def _sentencize(text: str):
+    """Rule-based sentence splitter (replaces the spaCy sentencizer,
+    ref: index.py:64-66 — host-side, not perf-critical)."""
+    sents = []
+    pos = 0
+    for m in _SENT_RE.finditer(text):
+        sents.append((text[pos:m.start()], pos))
+        pos = m.end()
+    sents.append((text[pos:], pos))
+    return [s for s in sents if s[0].strip()] or [(text, 0)]
+
+
+class MIPS:
+    """On-TPU phrase search engine (API parity with ref MIPS, index.py:23)."""
+
+    def __init__(self, store: PhraseStore, index=None, rotation: Optional[np.ndarray] = None,
+                 mesh=None, shard_axis: str = "shard"):
+        self.store = store
+        self.R = None if rotation is None else jnp.asarray(rotation, jnp.float32)
+        if index is None:
+            index = FlatIndex(np.asarray(store.vecs), store.offset, store.scale,
+                              mesh=mesh, shard_axis=shard_axis)
+        self.index = index
+
+        # Device-side global arrays for the rescore stage.
+        n = store.n_vecs
+        self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
+        f2o = np.zeros(n, np.int32)
+        doc_end_row = np.zeros(n, np.int64)
+        doc_base_row = np.zeros(n, np.int64)
+        for dpos in range(store.num_docs):
+            b0, b1 = int(store.doc_bases[dpos]), int(store.doc_bases[dpos + 1])
+            meta = store.meta(dpos)
+            f2o[b0:b1] = meta.f2o_start
+            doc_end_row[b0:b1] = b1
+            doc_base_row[b0:b1] = b0
+        self.f2o_dev = jnp.asarray(f2o)
+        self.doc_end_dev = jnp.asarray(doc_end_row)
+        self.doc_base_dev = jnp.asarray(doc_base_row)
+        self.num_docs_list: List[float] = []
+
+    # ---------------- stage 1 ----------------
+    def search_dense(self, query: np.ndarray, top_k: int = 10):
+        """query: [B, 2D] — returns start/end hit ids + scores
+        (ref: index.py:189-218)."""
+        b = query.shape[0]
+        qs, qe = np.split(query.astype(np.float32), 2, axis=1)
+        stacked = np.concatenate([qs, qe], axis=0)
+        if self.R is not None:
+            stacked = stacked @ np.asarray(self.R)  # rotate queries into code space
+        scores, gids = self.index.search(stacked, top_k)
+        s_scores, e_scores = scores[:b], scores[b:]
+        s_gids, e_gids = gids[:b], gids[b:]
+
+        s_doc, _ = self.store.global_to_doc(s_gids)
+        e_doc, _ = self.store.global_to_doc(e_gids)
+        num_docs = sum(
+            len(set(sd.tolist()) | set(ed.tolist())) for sd, ed in zip(s_doc, e_doc)
+        ) / max(b, 1)
+        self.num_docs_list.append(num_docs)
+        return s_gids, e_gids, s_scores, e_scores
+
+    # ---------------- stage 2 ----------------
+    def search_phrase(self, query, s_gids, e_gids, s_scores, e_scores,
+                      max_answer_length: int = 10, return_idxs: bool = False,
+                      return_sent: bool = False):
+        """Constrained span rescore + host result assembly
+        (ref: index.py:220-422)."""
+        b, k = s_gids.shape
+        qs, qe = np.split(query.astype(np.float32), 2, axis=1)
+        if self.R is not None:
+            qs = qs @ np.asarray(self.R)
+            qe = qe @ np.asarray(self.R)
+
+        res = _rescore_spans(
+            jnp.asarray(qs), jnp.asarray(qe),
+            jnp.asarray(s_gids), jnp.asarray(e_gids),
+            jnp.asarray(s_scores), jnp.asarray(e_scores),
+            self.vecs_dev, self.f2o_dev, self.doc_end_dev, self.doc_base_dev,
+            jnp.float32(self.store.offset), jnp.float32(self.store.scale),
+            max_answer_length=max_answer_length,
+        )
+        res = {kk: np.asarray(vv) for kk, vv in res.items()}
+
+        # Assemble per-query candidate list: for each of the K start hits a
+        # (start, best end) span, then for each of the K end hits a
+        # (best start, end) span — 2K candidates (ref: index.py:374-378).
+        span_start_gids = np.concatenate(
+            [s_gids, e_gids + res["start_offset"]], axis=1)  # [B, 2K]
+        span_end_gids = np.concatenate(
+            [s_gids + res["end_offset"], e_gids], axis=1)
+        span_scores = np.concatenate(
+            [res["joint_from_start"], res["joint_from_end"]], axis=1)
+        if return_idxs:
+            start_vecs = np.concatenate(
+                [res["start_vec_anchor"], res["start_vec_for_end"]], axis=1)
+            end_vecs = np.concatenate(
+                [res["end_vec_for_start"], res["end_vec_anchor"]], axis=1)
+
+        out = []
+        store = self.store
+        for bi in range(b):
+            cands = []
+            doc_pos, s_local = store.global_to_doc(span_start_gids[bi])
+            _, e_local = store.global_to_doc(span_end_gids[bi])
+            for ci in range(span_start_gids.shape[1]):
+                score = float(span_scores[bi, ci])
+                if score <= SCORE_FLOOR:
+                    continue
+                dpos = int(doc_pos[ci])
+                meta = store.meta(dpos)
+                sl, el = int(s_local[ci]), int(e_local[ci])
+                if sl < 0 or el < 0 or sl >= len(meta.f2o_start) or el >= len(meta.f2o_start):
+                    continue
+                start_pos = int(meta.word2char_start[meta.f2o_start[sl]])
+                if len(meta.word2char_end) > 0 and el >= 0:
+                    end_pos = int(meta.word2char_end[meta.f2o_start[el]])
+                else:
+                    end_pos = start_pos + 1
+                each = {
+                    "context": meta.context,
+                    "title": [meta.title],
+                    "doc_idx": int(store.doc_ids[dpos]),
+                    "start_pos": start_pos, "end_pos": end_pos,
+                    "start_idx": sl, "end_idx": el,
+                    "score": score,
+                    "start_vec": start_vecs[bi, ci] if return_idxs else None,
+                    "end_vec": end_vecs[bi, ci] if return_idxs else None,
+                }
+                each["answer"] = each["context"][each["start_pos"]:each["end_pos"]]
+                each = self.adjust(each)
+                if return_sent:
+                    each = self.adjust_sent(each)
+                cands.append(each)
+            cands.sort(key=lambda x: -x["score"])
+            out.append(cands)
+        return out
+
+    # ---------------- context adjustment (ref: index.py:167-187) -----------
+    @staticmethod
+    def adjust(each, delimiter: str = " [PAR] "):
+        last = each["context"].rfind(delimiter, 0, each["start_pos"])
+        last = 0 if last == -1 else last + len(delimiter)
+        nxt = each["context"].find(delimiter, each["end_pos"])
+        nxt = len(each["context"]) if nxt == -1 else nxt
+        each["context"] = each["context"][last:nxt]
+        each["start_pos"] -= last
+        each["end_pos"] -= last
+        return each
+
+    @staticmethod
+    def adjust_sent(each):
+        sents = _sentencize(each["context"])
+        starts = np.array([s[1] for s in sents])
+        first = max(int((starts <= each["start_pos"]).sum()) - 1, 0)
+        last = max(int((starts <= max(each["end_pos"] - 1, 0)).sum()) - 1, first)
+        each["context"] = " ".join(s[0] for s in sents[first:last + 1])
+        each["start_pos"] -= sents[first][1]
+        each["end_pos"] -= sents[first][1]
+        return each
+
+    # ---------------- aggregation (ref: index.py:424-448) -------------------
+    @staticmethod
+    def aggregate_results(results, top_k: int = 10, q_text: Optional[str] = None,
+                          agg_strat: str = "opt1"):
+        seen = {}
+        for r_idx, result in enumerate(results):
+            if agg_strat == "opt1":
+                key = f'{result["title"]}_{result["start_pos"]}_{result["end_pos"]}'
+            elif agg_strat == "opt2":
+                key = result["context"]
+            elif agg_strat == "opt3":
+                key = str(result["title"])
+            elif agg_strat == "opt4":
+                key = normalize_answer(result["answer"])
+            else:
+                raise NotImplementedError(f"wrong aggregation strategy {agg_strat}")
+            if key not in seen:
+                seen[key] = r_idx
+            else:
+                result["score"] = -1e8
+                if agg_strat == "opt4":
+                    kept = results[seen[key]]
+                    if result["title"][0] not in kept["title"]:
+                        kept["title"] = kept["title"] + result["title"]
+        results = sorted(results, key=lambda x: -x["score"])
+        return [r for r in results if r["score"] > SCORE_FLOOR]
+
+    # ---------------- orchestrator (ref: index.py:450-482) ------------------
+    def search(self, query, q_texts=None, nprobe: int = 256, top_k: int = 10,
+               aggregate: bool = False, return_idxs: bool = False,
+               max_answer_length: int = 10, agg_strat: str = "opt1",
+               return_sent: bool = False):
+        query = np.asarray(query)
+        s_gids, e_gids, s_scores, e_scores = self.search_dense(query, top_k=top_k)
+        outs = self.search_phrase(
+            query, s_gids, e_gids, s_scores, e_scores,
+            max_answer_length=max_answer_length, return_idxs=return_idxs,
+            return_sent=return_sent)
+        if aggregate:
+            q_texts = q_texts if q_texts is not None else [None] * len(outs)
+            outs = [
+                self.aggregate_results(results, top_k, q_text, agg_strat)
+                for results, q_text in zip(outs, q_texts)
+            ]
+        return outs

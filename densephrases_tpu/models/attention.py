@@ -1,0 +1,96 @@
+"""Attention for the BERT towers.
+
+Two interchangeable implementations of bidirectional multi-head attention with
+a padding mask:
+
+- ``attention_xla``: plain jnp einsum formulation; XLA fuses it well and it is
+  differentiable — used for training.
+- ``attention_pallas``: a fused Pallas TPU kernel that keeps the whole
+  [L, L] score matrix in VMEM per (batch, head) grid cell, so scores are never
+  materialized in HBM. For the 512-token windows this framework uses
+  (ref striding design: densephrases/options.py:36-37, Makefile:143-144),
+  L·L·4B = 1 MB — far under the ~16 MB VMEM budget, so no K/V tiling pass is
+  needed; this *is* the speed-of-light schedule for this shape.
+
+``attention(...)`` auto-selects: Pallas on TPU, XLA elsewhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def attention_xla(q, k, v, mask):
+    """Reference attention. q,k,v: [B, H, L, D]; mask: [B, L] (1=keep)."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(d).astype(q.dtype)
+    bias = (1.0 - mask[:, None, None, :].astype(jnp.float32)) * NEG_INF
+    scores = scores.astype(jnp.float32) + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+
+
+def _fused_attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref):
+    """One (batch, head) cell: full L×L attention in VMEM, fp32 softmax."""
+    q = q_ref[0].astype(jnp.float32)  # [L, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    d = q.shape[-1]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * (
+        1.0 / (d ** 0.5)
+    )  # [L, L]
+    bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * NEG_INF  # [L]
+    scores = scores + bias[None, :]
+    # Numerically stable softmax on the VPU.
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / denom
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_pallas(q, k, v, mask, interpret: bool = False):
+    """Fused attention kernel. q,k,v: [B, H, L, D]; mask: [B, L]."""
+    b, h, l, d = q.shape
+    qf = q.reshape(b * h, l, d)
+    kf = k.reshape(b * h, l, d)
+    vf = v.reshape(b * h, l, d)
+    # [B*H, 1, L]: keep the last two block dims (1, L) Mosaic-tileable.
+    maskf = jnp.repeat(mask.astype(jnp.float32), h, axis=0)[:, None, :]
+
+    out = pl.pallas_call(
+        _fused_attn_kernel,
+        out_shape=jax.ShapeDtypeStruct((b * h, l, d), q.dtype),
+        grid=(b * h,),
+        in_specs=[
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, l, d), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * l * l * d,
+            bytes_accessed=(3 * l * d + l * d + l) * 4,
+            transcendentals=l * l,
+        ),
+    )(qf, kf, vf, maskf)
+    return out.reshape(b, h, l, d)
+
+
+def attention(q, k, v, mask, impl: str = "auto", interpret: bool = False):
+    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla otherwise)."""
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        return attention_pallas(q, k, v, mask, interpret=interpret)
+    return attention_xla(q, k, v, mask)

@@ -1,0 +1,64 @@
+"""Vector quantization contract for the phrase store.
+
+The whole framework shares a single affine int8 contract for stored phrase
+vectors: ``code = round(clip((x - offset) * scale, -128, 127))`` and
+``x ≈ code / scale + offset``.
+
+Behavior parity with the reference's fixed quantization constants
+(offset=-2, scale=20; ref: densephrases/utils/embed_utils.py:141-165,
+densephrases/options.py:144-145, densephrases/index.py:259-260) — but here the
+quant/dequant are jittable JAX ops so dequantization fuses into the MIPS
+matmul on TPU instead of running on the host.
+
+int4 packs two 4-bit codes per byte along the feature dimension
+(ref: embed_utils.py:152-165).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+# Fixed storage contract (ref: options.py:144-145 --dense_offset/--dense_scale).
+DEFAULT_OFFSET = -2.0
+DEFAULT_SCALE = 20.0
+
+# int4 contract (ref: embed_utils.py:152-165).
+INT4_OFFSET = -3.5
+INT4_SCALE = 2.3
+
+
+def float_to_int8(x, offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE):
+    """Quantize float vectors to int8 codes. Works on jnp or np arrays."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    out = (x - offset) * scale
+    out = xp.clip(out, -128, 127)
+    return xp.round(out).astype(xp.int8)
+
+
+def int8_to_float(code, offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE):
+    """Dequantize int8 codes to float32. Fuses into downstream matmuls under jit."""
+    xp = jnp if isinstance(code, jnp.ndarray) else np
+    return code.astype(xp.float32) / scale + offset
+
+
+def float_to_int4(x, offset: float = INT4_OFFSET, scale: float = INT4_SCALE):
+    """Quantize to packed int4: two 4-bit codes per uint8 byte.
+
+    The feature dim is split in half; code[i] (high nibble) pairs with
+    code[i + D/2] (low nibble). Requires an even feature dimension.
+    """
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    out = (x - offset) * scale
+    out = xp.clip(out, 0, 15)
+    out = xp.round(out).astype(xp.uint8)
+    hd = out.shape[-1] // 2
+    merged = out[..., :hd] * 16 + out[..., hd:]
+    return merged.astype(xp.uint8)
+
+
+def int4_to_float(code, offset: float = INT4_OFFSET, scale: float = INT4_SCALE):
+    """Unpack and dequantize packed int4 codes."""
+    xp = jnp if isinstance(code, jnp.ndarray) else np
+    unmerged = xp.concatenate((code // 16, code % 16), axis=-1)
+    return unmerged.astype(xp.float32) / scale + offset

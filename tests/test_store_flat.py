@@ -1,0 +1,117 @@
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import Mesh
+
+from densephrases_tpu.index.flat import FlatIndex
+from densephrases_tpu.index.store import DocMeta, PhraseStore, StoreWriter
+from densephrases_tpu.ops.quant import float_to_int8, int8_to_float
+
+
+def _make_store(tmp_path, n_docs=5, dim=64, seed=0):
+    rng = np.random.default_rng(seed)
+    writer = StoreWriter(str(tmp_path / "store"), dim)
+    raw = []
+    for d in range(n_docs):
+        n_vecs = int(rng.integers(3, 12))
+        vecs = rng.normal(loc=-2, scale=1.0, size=(n_vecs, dim)).astype(np.float32)
+        raw.append(vecs)
+        nw = n_vecs + 2
+        meta = DocMeta(
+            doc_id=d, title=f"doc{d}", context=" ".join(["w"] * nw),
+            word2char_start=np.arange(n_vecs, dtype=np.int32) * 2,
+            word2char_end=np.arange(n_vecs, dtype=np.int32) * 2 + 1,
+            f2o_start=np.arange(n_vecs, dtype=np.int32),
+        )
+        writer.add_doc(meta, float_to_int8(vecs))
+    return writer.finalize(), raw
+
+
+def test_store_round_trip(tmp_path):
+    store, raw = _make_store(tmp_path)
+    assert store.num_docs == 5
+    assert store.n_vecs == sum(r.shape[0] for r in raw)
+    # per-doc vectors round-trip through quantization
+    for d in range(5):
+        got = int8_to_float(store.vec_rows(d))
+        np.testing.assert_allclose(got, raw[d], atol=0.5 / 20 + 1e-6)
+    # metadata round-trips through zlib
+    m = store.meta(2)
+    assert m.title == "doc2" and m.context.startswith("w w")
+    assert len(m.f2o_start) == raw[2].shape[0]
+
+
+def test_store_reload_and_global_to_doc(tmp_path):
+    store, raw = _make_store(tmp_path)
+    reloaded = PhraseStore.load(str(tmp_path / "store"))
+    np.testing.assert_array_equal(np.asarray(reloaded.vecs), np.asarray(store.vecs))
+    gids = np.arange(store.n_vecs)
+    doc_pos, local = reloaded.global_to_doc(gids)
+    # invariant: global id = doc_base + local
+    np.testing.assert_array_equal(reloaded.doc_bases[doc_pos] + local, gids)
+    # doc boundaries respected
+    for d in range(5):
+        sel = doc_pos == d
+        assert sel.sum() == raw[d].shape[0]
+
+
+def test_store_resume_appends_only_new_docs(tmp_path):
+    store, raw = _make_store(tmp_path, n_docs=3)
+    # Re-open and append one more doc; existing docs skipped via has_doc.
+    writer = StoreWriter(str(tmp_path / "store"), store.dim)
+    assert writer.has_doc(1)
+    assert not writer.has_doc(99)
+    vecs = np.zeros((4, store.dim), np.float32)
+    meta = DocMeta(doc_id=99, title="new", context="a b c d",
+                   word2char_start=np.zeros(4, np.int32),
+                   word2char_end=np.ones(4, np.int32),
+                   f2o_start=np.arange(4, dtype=np.int32))
+    writer.add_doc(meta, float_to_int8(vecs))
+    merged = writer.finalize()
+    assert merged.num_docs == 4
+    assert merged.n_vecs == store.n_vecs + 4
+
+
+def _brute_force(queries, codes, k):
+    scores = queries @ int8_to_float(codes).T
+    order = np.argsort(-scores, axis=1)[:, :k]
+    return np.take_along_axis(scores, order, axis=1), order
+
+
+@pytest.mark.parametrize("n,k", [(100, 5), (1000, 17)])
+def test_flat_index_matches_brute_force(n, k):
+    rng = np.random.default_rng(0)
+    dim = 64
+    codes = float_to_int8(rng.normal(-2, 1, size=(n, dim)).astype(np.float32))
+    queries = rng.normal(size=(3, dim)).astype(np.float32)
+    idx = FlatIndex(codes, chunk=128)
+    vals, ids = idx.search(queries, top_k=k)
+    ref_vals, ref_ids = _brute_force(queries, codes, k)
+    np.testing.assert_allclose(vals, ref_vals, atol=0.15)
+    # ids must match wherever scores are not near-ties (bf16 tolerance)
+    agree = (ids == ref_ids)
+    assert agree.mean() > 0.9
+
+
+def test_flat_index_sharded_matches_single():
+    rng = np.random.default_rng(1)
+    n, dim, k = 640, 64, 9
+    codes = float_to_int8(rng.normal(-2, 1, size=(n, dim)).astype(np.float32))
+    queries = rng.normal(size=(2, dim)).astype(np.float32)
+    single = FlatIndex(codes, chunk=64)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("shard",))
+    sharded = FlatIndex(codes, mesh=mesh, chunk=16)
+    v1, i1 = single.search(queries, top_k=k)
+    v2, i2 = sharded.search(queries, top_k=k)
+    np.testing.assert_allclose(v1, v2, atol=0.05)
+    assert (i1 == i2).mean() > 0.9
+
+
+def test_flat_index_k_larger_than_corpus():
+    rng = np.random.default_rng(2)
+    codes = float_to_int8(rng.normal(-2, 1, size=(7, 32)).astype(np.float32))
+    idx = FlatIndex(codes, chunk=8)
+    vals, ids = idx.search(rng.normal(size=(1, 32)).astype(np.float32), top_k=20)
+    assert vals.shape == (1, 20)
+    assert (vals[0, 7:] < -1e20).all()  # padded entries at floor
