@@ -155,8 +155,9 @@ class FlatIndex:
 
         return search_fn
 
-    def search(self, queries, top_k: int = 10):
-        """queries: [B, D] float32 → (scores [B, K] f32, ids [B, K] int64)."""
+    def search(self, queries, top_k: int = 10, nprobe: int = 0):
+        """queries: [B, D] float32 → (scores [B, K] f32, ids [B, K] int64).
+        nprobe is accepted for API uniformity with IVFIndex and ignored."""
         queries = jnp.asarray(queries, jnp.float32)
         k = min(top_k, self.n_total)
         vals, ids = self._search_fn(queries, k)

@@ -1,0 +1,307 @@
+"""IVF-PQ / IVF-SQ8 index: TPU-resident approximate MIPS.
+
+Replaces the FAISS IVF pipeline (train/add/search:
+ref build_phrase_index.py:96-279, index.py:28-62,189-202):
+
+Build (all matmul work on TPU):
+- coarse centroids: Lloyd k-means (ops/kmeans.py)
+- optional OPQ rotation + PQ codebooks (ops/opq.py, ops/pq.py), or SQ8
+  (reuse the store's int8 codes directly)
+- assignment by max inner product (the reference's coarse quantizer is
+  IndexFlatIP, build_phrase_index.py:99)
+- rows *sorted by list*: each inverted list is a contiguous range of the
+  code matrix — list scan = contiguous DMA, no pointer chasing. idx2id
+  becomes a single permutation array (sorted row → original global id),
+  replacing the offset-encoded idx2id HDF5 (ref: index.py:124-141).
+
+Search (one jit, static shapes):
+- probe: [B, nlist] matmul + top-nprobe
+- scan: ``lax.scan`` over probes; per probe a fixed-size dynamic_slice of
+  CAP rows per query (CAP = max list length, so no truncation), scored
+  either by int8 matmul (SQ8) or PQ lookup tables. PQ LUT lookup avoids
+  TPU gathers via a per-subspace one-hot matmul (see ops/pq.py).
+- running top-k merged across probes, exactly like the flat scan.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+import pickle
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densephrases_tpu.ops.kmeans import kmeans, kmeans_assign
+from densephrases_tpu.ops.opq import OPQ, train_opq
+from densephrases_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, train_pq
+from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
+from densephrases_tpu.ops.topk import topk_merge
+
+NEG_INF = jnp.float32(-1e30)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class IVFConfig:
+    num_clusters: int = 1024
+    fine_quant: str = "SQ8"  # SQ8 | PQ<m> | OPQ<m>  (ref naming, :24-28)
+    kmeans_iters: int = 10
+    pq_iters: int = 6
+    opq_iters: int = 4
+    sample_ratio: float = 1.0  # train on a subsample (ref doc/vec_sample_ratio)
+    seed: int = 0
+    # PQ candidates are re-ranked with exact int8 scores: scan k*refine_factor
+    # with PQ, rescore those rows against the store's int8 codes (which the
+    # phrase store keeps for stage-2 span search anyway), keep top-k.
+    refine_factor: int = 4
+
+
+class IVFIndex:
+    """Approximate MIPS index. Same .search API as FlatIndex."""
+
+    def __init__(self, cfg: IVFConfig, centroids, row_perm, list_offsets,
+                 codes, rotation=None, pq: Optional[PQCodebook] = None,
+                 offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
+                 n_total: int = 0, refine_codes=None):
+        self.cfg = cfg
+        self.centroids = jnp.asarray(centroids, jnp.float32)  # [nlist, D]
+        self.row_perm = jnp.asarray(row_perm)  # [N_pad] sorted row -> global id
+        self.list_offsets = jnp.asarray(list_offsets, jnp.int32)  # [nlist+1]
+        self.codes = jnp.asarray(codes)  # [N_pad, M] u8 (PQ) or [N_pad, D] i8
+        self.rotation = None if rotation is None else jnp.asarray(rotation, jnp.float32)
+        self.pq = pq
+        self.pq_books = None if pq is None else jnp.asarray(pq.codebooks)
+        self.offset = float(offset)
+        self.scale = float(scale)
+        self.n_total = n_total
+        self.refine_codes = (None if refine_codes is None
+                             else jnp.asarray(refine_codes))  # [N, D] int8
+        lens = np.diff(np.asarray(list_offsets))
+        self.cap = int(_round_up(max(int(lens.max()), 8), 8))
+        self._search_cache = {}
+
+    # ------------------------------------------------------------- build
+    @staticmethod
+    def build(codes_int8: np.ndarray, cfg: IVFConfig,
+              offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
+              verbose: bool = False) -> "IVFIndex":
+        """codes_int8: the store's int8 vectors [N, D] (quantized floats)."""
+        n, d = codes_int8.shape
+        x = codes_int8.astype(np.float32) / scale + offset
+        rng = np.random.default_rng(cfg.seed)
+
+        # --- sample for training (ref: build_phrase_index.py:60-93)
+        if cfg.sample_ratio < 1.0:
+            take = max(int(n * cfg.sample_ratio), min(n, cfg.num_clusters * 4))
+            sample = x[rng.choice(n, size=min(take, n), replace=False)]
+        else:
+            sample = x
+
+        centroids, _ = kmeans(sample, cfg.num_clusters, iters=cfg.kmeans_iters,
+                              seed=cfg.seed, verbose=verbose,
+                              chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)))
+
+        # --- coarse assignment by max inner product
+        assign = np.asarray(_ip_assign(jnp.asarray(x), jnp.asarray(centroids)))
+
+        # --- fine quantization
+        rotation = None
+        pq = None
+        fq = cfg.fine_quant
+        if fq.startswith("OPQ"):
+            m = int(fq[3:])
+            opq = train_opq(sample, m, niter=cfg.opq_iters, pq_iters=cfg.pq_iters,
+                            seed=cfg.seed, verbose=verbose)
+            rotation = opq.rotation
+            pq = opq.pq
+            fine_codes = pq_encode(pq, x @ rotation)
+        elif fq.startswith("PQ"):
+            m = int(fq[2:])
+            pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed)
+            fine_codes = pq_encode(pq, x)
+        elif fq == "SQ8":
+            fine_codes = codes_int8
+        else:
+            raise ValueError(f"unknown fine_quant {fq}")
+
+        # --- sort rows by list; contiguous inverted lists
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        list_offsets = np.searchsorted(
+            sorted_assign, np.arange(cfg.num_clusters + 1)).astype(np.int32)
+        sorted_codes = fine_codes[order]
+        # pad with CAP extra rows so dynamic_slice never clamps into data
+        lens = np.diff(list_offsets)
+        cap = int(_round_up(max(int(lens.max()), 8), 8))
+        pad = cap
+        sorted_codes = np.concatenate(
+            [sorted_codes, np.zeros((pad,) + sorted_codes.shape[1:],
+                                    sorted_codes.dtype)])
+        row_perm = np.concatenate([order, np.zeros(pad, order.dtype)]).astype(np.int64)
+
+        refine = codes_int8 if (pq is not None and cfg.refine_factor > 1) else None
+        return IVFIndex(cfg, centroids, row_perm, list_offsets, sorted_codes,
+                        rotation=rotation, pq=pq, offset=offset, scale=scale,
+                        n_total=n, refine_codes=refine)
+
+    # ------------------------------------------------------------- search
+    def search(self, queries, top_k: int = 10, nprobe: int = 64):
+        """queries [B, D] f32 → (scores [B, K], global ids [B, K] i64)."""
+        queries = jnp.asarray(queries, jnp.float32)
+        nprobe = min(nprobe, self.cfg.num_clusters)
+        k = min(top_k, self.n_total)
+        key = (k, nprobe)
+        if key not in self._search_cache:
+            self._search_cache[key] = self._build_search(k, nprobe)
+        vals, ids = self._search_cache[key](queries)
+        vals, ids = np.asarray(vals), np.asarray(ids)
+        if k < top_k:
+            pad = top_k - k
+            vals = np.concatenate(
+                [vals, np.full((vals.shape[0], pad), float(NEG_INF), np.float32)], 1)
+            ids = np.concatenate([ids, np.zeros((ids.shape[0], pad), ids.dtype)], 1)
+        return vals, ids
+
+    def _build_search(self, top_k: int, nprobe: int):
+        cap = self.cap
+        is_pq = self.pq_books is not None
+        offset, scale = self.offset, self.scale
+        rotation = self.rotation
+        do_refine = is_pq and self.refine_codes is not None
+        scan_k = min(top_k * self.cfg.refine_factor, self.n_total) if do_refine else top_k
+
+        def searcher(queries):
+            b, d = queries.shape
+            q_rot = queries if rotation is None else queries @ rotation
+
+            # ---- probe (ref: nprobe=256 IVF probe, index.py:53,62)
+            c_scores = jnp.einsum("bd,nd->bn", queries.astype(jnp.bfloat16),
+                                  self.centroids.astype(jnp.bfloat16),
+                                  preferred_element_type=jnp.float32)
+            _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, nprobe]
+
+            if is_pq:
+                lut = pq_lut(self.pq_books, q_rot)  # [B, M, 256]
+                lut_bf = lut.astype(jnp.bfloat16)
+            else:
+                qsum = q_rot.sum(-1) * offset
+                q_bf = q_rot.astype(jnp.bfloat16)
+
+            col = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+            def probe_step(carry, p_idx):
+                best_s, best_i = carry
+                lists = probe_ids[:, p_idx]  # [B]
+                offs = self.list_offsets[lists]  # [B]
+                lens = self.list_offsets[lists + 1] - offs
+
+                cand = jax.vmap(
+                    lambda o: jax.lax.dynamic_slice(
+                        self.codes, (o, 0), (cap, self.codes.shape[1]))
+                )(offs)  # [B, cap, M or D]
+
+                if is_pq:
+                    # per-subspace one-hot matmul (no gathers; ops/pq.py)
+                    ksub = 256
+                    m = cand.shape[-1]
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (b, cap, m, ksub), 3)
+                    oh = (cand[..., None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
+                    s = jnp.einsum("bmk,bcmk->bc", lut_bf.reshape(b, m, ksub), oh,
+                                   preferred_element_type=jnp.float32)
+                else:
+                    s = jnp.einsum("bd,bcd->bc", q_bf,
+                                   cand.astype(jnp.bfloat16),
+                                   preferred_element_type=jnp.float32)
+                    s = s / scale + qsum[:, None]
+
+                valid = col < lens[:, None]
+                s = jnp.where(valid, s, NEG_INF)
+                rows = offs[:, None] + col  # sorted-row ids
+                cat_s = jnp.concatenate([best_s, s], axis=1)
+                cat_i = jnp.concatenate([best_i, rows], axis=1)
+                vals, pos = jax.lax.top_k(cat_s, scan_k)
+                ids = jnp.take_along_axis(cat_i, pos, axis=1)
+                return (vals, ids), None
+
+            init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
+                    jnp.zeros((b, scan_k), jnp.int32))
+            (vals, rows), _ = jax.lax.scan(init=init, xs=jnp.arange(nprobe),
+                                           f=probe_step)
+            gids = self.row_perm[jnp.clip(rows, 0, self.row_perm.shape[0] - 1)]
+
+            if do_refine:
+                # exact int8 re-ranking of the PQ candidates (one gather +
+                # one batched matvec; the int8 matrix is the store's own)
+                cand = self.refine_codes[
+                    jnp.clip(gids, 0, self.refine_codes.shape[0] - 1)]
+                qsum_r = queries.sum(-1) * offset
+                s = jnp.einsum("bd,bcd->bc", queries.astype(jnp.bfloat16),
+                               cand.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32)
+                s = s / scale + qsum_r[:, None]
+                s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
+                vals, pos = jax.lax.top_k(s, top_k)
+                gids = jnp.take_along_axis(gids, pos, axis=1)
+            return vals, gids
+
+        return jax.jit(searcher)
+
+    # ------------------------------------------------------------- io
+    def save(self, path: str):
+        os.makedirs(path, exist_ok=True)
+        np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
+        np.save(os.path.join(path, "row_perm.npy"), np.asarray(self.row_perm))
+        np.save(os.path.join(path, "list_offsets.npy"), np.asarray(self.list_offsets))
+        np.save(os.path.join(path, "codes.npy"), np.asarray(self.codes))
+        if self.refine_codes is not None:
+            np.save(os.path.join(path, "refine_codes.npy"),
+                    np.asarray(self.refine_codes))
+        extra = {"cfg": self.cfg, "rotation": None if self.rotation is None
+                 else np.asarray(self.rotation),
+                 "pq": self.pq, "offset": self.offset, "scale": self.scale,
+                 "n_total": self.n_total}
+        with open(os.path.join(path, "ivf.pkl"), "wb") as f:
+            pickle.dump(extra, f)
+
+    @staticmethod
+    def load(path: str) -> "IVFIndex":
+        with open(os.path.join(path, "ivf.pkl"), "rb") as f:
+            extra = pickle.load(f)
+        refine_path = os.path.join(path, "refine_codes.npy")
+        refine = np.load(refine_path) if os.path.exists(refine_path) else None
+        return IVFIndex(
+            extra["cfg"],
+            np.load(os.path.join(path, "centroids.npy")),
+            np.load(os.path.join(path, "row_perm.npy")),
+            np.load(os.path.join(path, "list_offsets.npy")),
+            np.load(os.path.join(path, "codes.npy")),
+            rotation=extra["rotation"], pq=extra["pq"],
+            offset=extra["offset"], scale=extra["scale"],
+            n_total=extra["n_total"], refine_codes=refine,
+        )
+
+
+@jax.jit
+def _ip_assign(x, centroids):
+    """Assign by max inner product (coarse quantizer = IndexFlatIP parity)."""
+    def body(_, chunk):
+        s = jnp.einsum("cd,nd->cn", chunk.astype(jnp.bfloat16),
+                       centroids.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return None, jnp.argmax(s, axis=1).astype(jnp.int32)
+
+    n, d = x.shape
+    chunk = 2048
+    pad = (-n) % chunk
+    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)]) if pad else x
+    _, out = jax.lax.scan(body, None, xp.reshape(-1, chunk, d))
+    return out.reshape(-1)[:n]

@@ -158,7 +158,7 @@ class MIPS:
         self.num_docs_list: List[float] = []
 
     # ---------------- stage 1 ----------------
-    def search_dense(self, query: np.ndarray, top_k: int = 10):
+    def search_dense(self, query: np.ndarray, top_k: int = 10, nprobe: int = 256):
         """query: [B, 2D] — returns start/end hit ids + scores
         (ref: index.py:189-218)."""
         b = query.shape[0]
@@ -166,7 +166,7 @@ class MIPS:
         stacked = np.concatenate([qs, qe], axis=0)
         if self.R is not None:
             stacked = stacked @ np.asarray(self.R)  # rotate queries into code space
-        scores, gids = self.index.search(stacked, top_k)
+        scores, gids = self.index.search(stacked, top_k, nprobe=nprobe)
         s_scores, e_scores = scores[:b], scores[b:]
         s_gids, e_gids = gids[:b], gids[b:]
 
@@ -310,7 +310,8 @@ class MIPS:
                max_answer_length: int = 10, agg_strat: str = "opt1",
                return_sent: bool = False):
         query = np.asarray(query)
-        s_gids, e_gids, s_scores, e_scores = self.search_dense(query, top_k=top_k)
+        s_gids, e_gids, s_scores, e_scores = self.search_dense(
+            query, top_k=top_k, nprobe=nprobe)
         outs = self.search_phrase(
             query, s_gids, e_gids, s_scores, e_scores,
             max_answer_length=max_answer_length, return_idxs=return_idxs,

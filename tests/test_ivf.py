@@ -1,0 +1,140 @@
+"""IVF / PQ / OPQ / k-means tests: recall vs exact search on synthetic data
+(the SURVEY §4 plan: exact-vs-IVF recall tests on synthetic Gaussians)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from densephrases_tpu.index.flat import FlatIndex
+from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+from densephrases_tpu.ops.kmeans import kmeans, kmeans_assign
+from densephrases_tpu.ops.pq import (
+    pq_decode,
+    pq_encode,
+    pq_lut,
+    pq_scores_scan,
+    train_pq,
+)
+from densephrases_tpu.ops.opq import train_opq
+from densephrases_tpu.ops.quant import float_to_int8, int8_to_float
+
+
+def _clustered_data(n, d, n_clusters=32, seed=0):
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(-2, 1.0, (n_clusters, d)).astype(np.float32)
+    idx = rng.integers(0, n_clusters, n)
+    return (centers[idx] + 0.3 * rng.normal(size=(n, d))).astype(np.float32)
+
+
+def test_kmeans_reduces_cost_and_assigns_consistently():
+    x = _clustered_data(2000, 32)
+    cents, assigns = kmeans(x, 16, iters=8, seed=0, chunk=256)
+    assert cents.shape == (16, 32)
+    assert assigns.shape == (2000,)
+    # assignment is the true argmin-L2
+    d2 = ((x[:, None] - cents[None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(assigns, d2.argmin(1))
+    # clustering should beat a random partition by a wide margin
+    cost = d2.min(1).mean()
+    rand_cost = d2[np.arange(2000), np.random.default_rng(0).integers(0, 16, 2000)].mean()
+    assert cost < rand_cost * 0.5
+
+
+def test_pq_roundtrip_reduces_error():
+    x = _clustered_data(3000, 64, seed=1)
+    pq = train_pq(x, m=8, iters=5)
+    codes = pq_encode(pq, x)
+    assert codes.shape == (3000, 8) and codes.dtype == np.uint8
+    x_hat = pq_decode(pq, codes)
+    mse = np.mean((x - x_hat) ** 2)
+    var = np.mean((x - x.mean(0)) ** 2)
+    assert mse < 0.35 * var, (mse, var)
+
+
+def test_pq_lut_scan_matches_decode_dot():
+    x = _clustered_data(1024, 64, seed=2)
+    q = np.random.default_rng(0).normal(size=(4, 64)).astype(np.float32)
+    pq = train_pq(x, m=8, iters=4)
+    codes = pq_encode(pq, x)
+    lut = pq_lut(jnp.asarray(pq.codebooks), jnp.asarray(q))
+    scores = np.asarray(pq_scores_scan(lut, jnp.asarray(codes), chunk=256))
+    ref = q @ pq_decode(pq, codes).T
+    np.testing.assert_allclose(scores, ref, atol=0.5, rtol=0.05)
+    # ranking agreement on top candidates
+    for b in range(4):
+        top_ref = set(np.argsort(-ref[b])[:10].tolist())
+        top_got = set(np.argsort(-scores[b])[:10].tolist())
+        assert len(top_ref & top_got) >= 7
+
+
+def test_opq_beats_plain_pq():
+    rng = np.random.default_rng(3)
+    # anisotropic data (correlated dims) — where OPQ helps
+    a = rng.normal(size=(64, 64)).astype(np.float32)
+    x = rng.normal(size=(3000, 64)).astype(np.float32) @ a
+    pq = train_pq(x, m=8, iters=4)
+    mse_pq = np.mean((x - pq_decode(pq, pq_encode(pq, x))) ** 2)
+    opq = train_opq(x, m=8, niter=3, pq_iters=4)
+    y = x @ opq.rotation
+    mse_opq = np.mean((y - pq_decode(opq.pq, pq_encode(opq.pq, y))) ** 2)
+    # rotation must be orthogonal
+    np.testing.assert_allclose(opq.rotation @ opq.rotation.T, np.eye(64),
+                               atol=1e-4)
+    assert mse_opq < mse_pq * 0.95, (mse_opq, mse_pq)
+
+
+@pytest.mark.parametrize("fine_quant,min_recall", [
+    ("SQ8", 0.95), ("PQ8", 0.55), ("OPQ8", 0.55),
+])
+def test_ivf_recall_vs_exact(fine_quant, min_recall):
+    x = _clustered_data(5000, 64, seed=4)
+    codes = float_to_int8(x)
+    x_deq = int8_to_float(codes)
+    queries = _clustered_data(16, 64, seed=5)
+
+    flat = FlatIndex(codes, chunk=512)
+    _, exact_ids = flat.search(queries, top_k=10)
+
+    cfg = IVFConfig(num_clusters=64, fine_quant=fine_quant, kmeans_iters=6,
+                    pq_iters=4, opq_iters=2)
+    ivf = IVFIndex.build(codes, cfg)
+    _, ivf_ids = ivf.search(queries, top_k=10, nprobe=16)
+
+    recall = np.mean([
+        len(set(e.tolist()) & set(i.tolist())) / 10
+        for e, i in zip(exact_ids, ivf_ids)
+    ])
+    assert recall >= min_recall, f"{fine_quant} recall@10 {recall}"
+
+
+def test_ivf_full_probe_sq8_is_near_exact():
+    """nprobe = nlist with SQ8 must equal exact search (same quantization)."""
+    x = _clustered_data(2000, 64, seed=6)
+    codes = float_to_int8(x)
+    queries = _clustered_data(8, 64, seed=7)
+    flat = FlatIndex(codes, chunk=512)
+    ev, exact_ids = flat.search(queries, top_k=5)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=32, fine_quant="SQ8",
+                                          kmeans_iters=5))
+    iv, ivf_ids = ivf.search(queries, top_k=5, nprobe=32)
+    recall = np.mean([
+        len(set(e.tolist()) & set(i.tolist())) / 5
+        for e, i in zip(exact_ids, ivf_ids)
+    ])
+    assert recall >= 0.95, recall
+    np.testing.assert_allclose(np.sort(iv, 1), np.sort(ev, 1), atol=0.2)
+
+
+def test_ivf_save_load_round_trip(tmp_path):
+    x = _clustered_data(1000, 32, seed=8)
+    codes = float_to_int8(x)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=16, fine_quant="SQ8",
+                                          kmeans_iters=3))
+    queries = _clustered_data(4, 32, seed=9)
+    v1, i1 = ivf.search(queries, top_k=5, nprobe=8)
+    ivf.save(str(tmp_path / "ivf"))
+    ivf2 = IVFIndex.load(str(tmp_path / "ivf"))
+    v2, i2 = ivf2.search(queries, top_k=5, nprobe=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, atol=1e-5)

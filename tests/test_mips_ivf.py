@@ -1,0 +1,74 @@
+"""MIPS two-stage search over an IVF index must agree with flat-index MIPS."""
+
+import numpy as np
+import pytest
+
+from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+from densephrases_tpu.index.search import MIPS
+from densephrases_tpu.index.store import DocMeta, StoreWriter
+from densephrases_tpu.ops.quant import float_to_int8, int8_to_float
+
+
+def _store(tmp_path, n_docs=40, vecs_per_doc=50, dim=64, seed=0):
+    rng = np.random.default_rng(seed)
+    writer = StoreWriter(str(tmp_path / "store"), dim)
+    # clustered vectors (as real phrase embeddings are) so IVF probing works
+    centers = rng.normal(-2, 1.0, (24, dim)).astype(np.float32)
+    for d in range(n_docs):
+        ci = rng.integers(0, 24, vecs_per_doc)
+        vecs = (centers[ci] + 0.25 * rng.normal(size=(vecs_per_doc, dim))
+                ).astype(np.float32)
+        writer.add_doc(
+            DocMeta(doc_id=d, title=f"doc{d}",
+                    context=" ".join(["tok"] * (vecs_per_doc + 2)),
+                    word2char_start=np.arange(vecs_per_doc, dtype=np.int32) * 4,
+                    word2char_end=np.arange(vecs_per_doc, dtype=np.int32) * 4 + 3,
+                    f2o_start=np.arange(vecs_per_doc, dtype=np.int32)),
+            float_to_int8(vecs))
+    return writer.finalize()
+
+
+def _queries(store, n=8, seed=1):
+    rng = np.random.default_rng(seed)
+    qs = []
+    for _ in range(n):
+        dpos = int(rng.integers(0, store.num_docs))
+        b0 = int(store.doc_bases[dpos])
+        s = int(rng.integers(0, 40))
+        qs.append(np.concatenate([
+            int8_to_float(np.asarray(store.vecs[b0 + s])),
+            int8_to_float(np.asarray(store.vecs[b0 + s + 2]))]))
+    return np.stack(qs)
+
+
+def _span_overlap(outs_a, outs_b, k=5):
+    """Fraction of top-k spans of A that appear in top-k of B."""
+    fr = []
+    for ra, rb in zip(outs_a, outs_b):
+        sa = {(r["doc_idx"], r["start_idx"], r["end_idx"]) for r in ra[:k]}
+        sb = {(r["doc_idx"], r["start_idx"], r["end_idx"]) for r in rb[:k]}
+        fr.append(len(sa & sb) / max(len(sa), 1))
+    return float(np.mean(fr))
+
+
+@pytest.mark.parametrize("fine_quant,nprobe,min_overlap", [
+    ("SQ8", 32, 0.95),   # full probe, same quantization → near-identical
+    ("SQ8", 12, 0.55),   # partial probe → most spans still found
+    ("OPQ8", 16, 0.5),   # PQ stage-1 + int8 refine → majority agreement
+])
+def test_ivf_mips_matches_flat_mips(tmp_path, fine_quant, nprobe, min_overlap):
+    store = _store(tmp_path)
+    flat_mips = MIPS(store)
+    ivf = IVFIndex.build(np.asarray(store.vecs),
+                         IVFConfig(num_clusters=32, fine_quant=fine_quant,
+                                   kmeans_iters=5, pq_iters=3, opq_iters=2))
+    ivf_mips = MIPS(store, index=ivf)
+    q = _queries(store)
+    out_flat = flat_mips.search(q, top_k=5)
+    out_ivf = ivf_mips.search(q, top_k=5, nprobe=nprobe)
+    ov = _span_overlap(out_flat, out_ivf)
+    assert ov >= min_overlap, f"{fine_quant} nprobe={nprobe}: overlap {ov}"
+    # all results remain internally consistent
+    for ret in out_ivf:
+        for r in ret:
+            assert r["answer"] == r["context"][r["start_pos"]:r["end_pos"]]
