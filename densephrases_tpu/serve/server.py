@@ -1,0 +1,158 @@
+"""HTTP serving: query-encoder server, index server, combined server.
+
+Parity with the reference's two-process demo architecture
+(ref: run_demo.py:44-272): a query-encoder service exposing
+``/query2vec_api``, an index service exposing ``/api`` (single query) and
+``/batch_api`` (batched), plus a combined single-process mode. Flask is not
+in this image, so the servers are tornado-native (tornado is what the
+reference uses to wrap Flask anyway, run_demo.py:128-143).
+
+The client helper ``eval_request`` mirrors the reference's benchmark client
+(ref: run_demo.py:318-356): batched queries, 5-batch warmup excluded, Q/sec
+reported.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from typing import List, Optional
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not serializable: {type(o)}")
+
+
+def make_query_encoder_app(model):
+    """Query-encoder service: POST /query2vec_api {'query': [str]} →
+    {'vec': [[...]]} (ref: run_demo.py:44-68)."""
+    import tornado.web
+
+    class Query2Vec(tornado.web.RequestHandler):
+        def post(self):
+            body = json.loads(self.request.body or b"{}")
+            queries = body.get("query", [])
+            if isinstance(queries, str):
+                queries = [queries]
+            vecs = model.query2vec(queries)
+            self.write(json.dumps({"vec": vecs.tolist()}))
+
+        def get(self):
+            q = self.get_argument("query", "")
+            vecs = model.query2vec([q])
+            self.write(json.dumps({"vec": vecs.tolist()}))
+
+    return tornado.web.Application([(r"/query2vec_api", Query2Vec)])
+
+
+def make_index_app(model, default_top_k: int = 10,
+                   examples: Optional[List[str]] = None):
+    """Index service: GET /api?query=...&strat=...; POST /batch_api
+    (ref: run_demo.py:70-149)."""
+    import tornado.web
+
+    strat_map = {"dense_first": "opt1", "sparse_first": "opt1", "hybrid": "opt1"}
+
+    def do_search(queries, top_k, strat, unit):
+        answers, rets = model.search(
+            queries, retrieval_unit=unit, top_k=top_k, return_meta=True)
+        out = []
+        for ans, ret in zip(answers, rets):
+            out.append([{
+                "answer": r.get("answer", ""), "context": r["context"],
+                "title": r["title"], "score": r["score"],
+                "start_pos": r.get("start_pos", 0),
+                "end_pos": r.get("end_pos", 0),
+            } for r in ret])
+        return answers, out
+
+    class Api(tornado.web.RequestHandler):
+        def get(self):
+            t0 = time.time()
+            q = self.get_argument("query", "")
+            top_k = int(self.get_argument("top_k", str(default_top_k)))
+            unit = self.get_argument("retrieval_unit", "phrase")
+            answers, rets = do_search([q], top_k, None, unit)
+            self.write(json.dumps({
+                "ret": rets[0], "answers": answers[0],
+                "time": int(1000 * (time.time() - t0)),
+            }, default=_json_default))
+
+    class BatchApi(tornado.web.RequestHandler):
+        def post(self):
+            body = json.loads(self.request.body or b"{}")
+            queries = body.get("query", [])
+            top_k = int(body.get("top_k", default_top_k))
+            unit = body.get("retrieval_unit", "phrase")
+            t0 = time.time()
+            answers, rets = do_search(queries, top_k, None, unit)
+            self.write(json.dumps({
+                "ret": rets, "answers": answers,
+                "time": int(1000 * (time.time() - t0)),
+            }, default=_json_default))
+
+    class GetExamples(tornado.web.RequestHandler):
+        def get(self):
+            self.write(json.dumps({"examples": examples or []}))
+
+    return tornado.web.Application([
+        (r"/api", Api), (r"/batch_api", BatchApi),
+        (r"/get_examples", GetExamples),
+    ])
+
+
+def serve(app, port: int):
+    """Blocking serve loop."""
+    import tornado.ioloop
+
+    app.listen(port)
+    logger.info("serving on :%d", port)
+    tornado.ioloop.IOLoop.current().start()
+
+
+def eval_request(host: str, port: int, qa_pairs, batch_size: int = 64,
+                 top_k: int = 10, warmup_batches: int = 5):
+    """Benchmark client: EM@1 + Q/sec with warmup excluded
+    (ref: run_demo.py:318-356)."""
+    import urllib.request
+
+    from densephrases_tpu.eval.retrieval import evaluate_predictions
+
+    questions = [q for q, _ in qa_pairs]
+    answers = [a for _, a in qa_pairs]
+    url = f"http://{host}:{port}/batch_api"
+
+    def call(batch):
+        req = urllib.request.Request(
+            url, data=json.dumps({"query": batch, "top_k": top_k}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read())
+
+    preds = []
+    n_q, elapsed = 0, 0.0
+    for i, b0 in enumerate(range(0, len(questions), batch_size)):
+        batch = questions[b0: b0 + batch_size]
+        t0 = time.time()
+        out = call(batch)
+        dt = time.time() - t0
+        if i >= warmup_batches:
+            n_q += len(batch)
+            elapsed += dt
+        preds.extend(out["answers"])
+    qps = n_q / elapsed if elapsed > 0 else float("nan")
+    metrics = evaluate_predictions(preds, answers)
+    metrics["qps"] = qps
+    logger.info("EM@1 %.2f | %.1f Q/sec", metrics["em_top1"], qps)
+    return metrics

@@ -1,0 +1,96 @@
+"""Draft end-to-end pipeline through the CLI drivers — the `make draft`
+equivalent (ref: Makefile:184-202): train-rc → gen-vecs → index-vecs →
+eval-index on tiny samples."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def workspace(tmp_path_factory):
+    ws = tmp_path_factory.mktemp("draft")
+    arts = json.load(open(
+        "/root/reference/examples/create-custom-index/articles.json"))["data"]
+
+    # corpus file (SQuAD-style, context-only)
+    corpus = {"data": [{
+        "title": a["title"],
+        "paragraphs": [{"context": p["context"]} for p in a["paragraphs"][:3]],
+    } for a in arts[:4]]}
+    (ws / "corpus").mkdir()
+    json.dump(corpus, open(ws / "corpus" / "docs.json", "w"))
+
+    # RC training file: synthesize QA pairs over the corpus
+    ctx = arts[0]["paragraphs"][0]["context"]
+    ans = "Kevin Skinner"
+    rc = {"data": [{
+        "title": arts[0]["title"],
+        "paragraphs": [{
+            "context": ctx,
+            "qas": [{"id": "q1",
+                     "question": "who won season 4 of america's got talent?",
+                     "answers": [{"text": ans,
+                                  "answer_start": ctx.index(ans)}]}],
+        }],
+    }]}
+    json.dump(rc, open(ws / "rc.json", "w"))
+
+    # open-domain test file
+    qa = json.load(open(
+        "/root/reference/examples/create-custom-index/questions.json"))
+    json.dump(qa, open(ws / "qa.json", "w"))
+    return ws
+
+
+def test_full_draft_pipeline(workspace):
+    ws = workspace
+    enc_dir = str(ws / "enc")
+    dump_dir = str(ws / "dump")
+
+    from densephrases_tpu.cli import (
+        build_phrase_index,
+        eval_phrase_retrieval,
+        generate_phrase_vecs,
+        train_rc,
+    )
+
+    # 1) train-rc (draft config, few steps)
+    state, rates = train_rc.main([
+        "--train_file", str(ws / "rc.json"), "--output_dir", enc_dir,
+        "--num_train_epochs", "1", "--per_device_train_batch_size", "1",
+        "--max_seq_length", "128", "--doc_stride", "64",
+        "--max_query_length", "24", "--lambda_neg", "1.0",
+        "--lambda_flt", "1.0", "--draft", "--verbose",
+    ])
+    assert os.path.exists(os.path.join(enc_dir, "vocab.txt"))
+    assert 0 <= min(rates.values()) <= max(rates.values()) <= 1
+
+    # 2) generate phrase vecs
+    store = generate_phrase_vecs.main([
+        "--load_dir", enc_dir, "--data_dir", str(ws / "corpus"),
+        "--predict_file", "docs.json", "--dump_dir", dump_dir,
+        "--max_seq_length", "128",
+    ])
+    assert store.n_vecs > 100
+
+    # 3) build index (small SQ8)
+    index = build_phrase_index.main([
+        "--dump_dir", dump_dir, "--num_clusters", "16",
+        "--fine_quant", "SQ8",
+    ])
+    assert index.n_total == store.n_vecs
+
+    # 4) eval retrieval through the index
+    metrics = eval_phrase_retrieval.main([
+        "--load_dir", enc_dir, "--dump_dir", dump_dir,
+        "--index_name", "start/16_flat_SQ8",
+        "--test_path", str(ws / "qa.json"),
+        "--top_k", "5", "--eval_batch_size", "4",
+        "--save_dir", str(ws / "out"),
+        "--max_seq_length", "128", "--max_query_length", "24",
+    ])
+    assert "em_top1" in metrics
+    assert os.path.exists(str(ws / "out" / "eval_logger.txt"))
