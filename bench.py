@@ -62,7 +62,7 @@ def main():
         tt = jnp.zeros((batch, lq), jnp.int32)
 
         def one_batch():
-            qvec = np.asarray(encode(params, ids, mask, tt))
+            qvec = encode(params, ids, mask, tt)  # stays on device
             return mips.search(qvec, top_k=top_k, aggregate=True)
 
         # Warmup (5 batches, excluded — ref: run_demo.py:331-335)

@@ -155,9 +155,11 @@ class FlatIndex:
 
         return search_fn
 
-    def search(self, queries, top_k: int = 10, nprobe: int = 0):
-        """queries: [B, D] float32 → (scores [B, K] f32, ids [B, K] int64).
-        nprobe is accepted for API uniformity with IVFIndex and ignored."""
+    def search(self, queries, top_k: int = 10, nprobe: int = 0,
+               as_numpy: bool = True):
+        """queries: [B, D] float32 → (scores [B, K] f32, ids [B, K] int).
+        nprobe is accepted for API uniformity with IVFIndex and ignored.
+        as_numpy=False keeps results on device (no host transfer)."""
         queries = jnp.asarray(queries, jnp.float32)
         k = min(top_k, self.n_total)
         vals, ids = self._search_fn(queries, k)
@@ -165,4 +167,6 @@ class FlatIndex:
             pad = top_k - k
             vals = jnp.concatenate([vals, jnp.full((vals.shape[0], pad), NEG_INF)], -1)
             ids = jnp.concatenate([ids, jnp.zeros((ids.shape[0], pad), ids.dtype)], -1)
-        return np.asarray(vals), np.asarray(ids)
+        if as_numpy:
+            return np.asarray(vals), np.asarray(ids)
+        return vals, ids

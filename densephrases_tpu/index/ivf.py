@@ -153,8 +153,10 @@ class IVFIndex:
                         n_total=n, refine_codes=refine)
 
     # ------------------------------------------------------------- search
-    def search(self, queries, top_k: int = 10, nprobe: int = 64):
-        """queries [B, D] f32 → (scores [B, K], global ids [B, K] i64)."""
+    def search(self, queries, top_k: int = 10, nprobe: int = 64,
+               as_numpy: bool = True):
+        """queries [B, D] f32 → (scores [B, K], global ids [B, K]).
+        as_numpy=False keeps results on device."""
         queries = jnp.asarray(queries, jnp.float32)
         nprobe = min(nprobe, self.cfg.num_clusters)
         k = min(top_k, self.n_total)
@@ -162,12 +164,14 @@ class IVFIndex:
         if key not in self._search_cache:
             self._search_cache[key] = self._build_search(k, nprobe)
         vals, ids = self._search_cache[key](queries)
-        vals, ids = np.asarray(vals), np.asarray(ids)
         if k < top_k:
             pad = top_k - k
-            vals = np.concatenate(
-                [vals, np.full((vals.shape[0], pad), float(NEG_INF), np.float32)], 1)
-            ids = np.concatenate([ids, np.zeros((ids.shape[0], pad), ids.dtype)], 1)
+            vals = jnp.concatenate(
+                [vals, jnp.full((vals.shape[0], pad), NEG_INF)], 1)
+            ids = jnp.concatenate(
+                [ids, jnp.zeros((ids.shape[0], pad), ids.dtype)], 1)
+        if as_numpy:
+            return np.asarray(vals), np.asarray(ids)
         return vals, ids
 
     def _build_search(self, top_k: int, nprobe: int):

@@ -40,6 +40,7 @@ import numpy as np
 from densephrases_tpu.eval.metrics import normalize_answer
 from densephrases_tpu.index.flat import FlatIndex
 from densephrases_tpu.index.store import PhraseStore
+from densephrases_tpu.utils.profiling import StageTimer
 
 logger = logging.getLogger(__name__)
 
@@ -47,10 +48,11 @@ NEG_INF = -1e9
 SCORE_FLOOR = -1e5  # host-side filter for masked/dummy results (ref: index.py:420)
 
 
-@functools.partial(jax.jit, static_argnames=("max_answer_length",))
+@functools.partial(jax.jit,
+                   static_argnames=("max_answer_length", "return_vecs"))
 def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
                    vecs, f2o, doc_end_row, doc_base_row, offset, scale,
-                   *, max_answer_length: int):
+                   *, max_answer_length: int, return_vecs: bool = False):
     """Constrained span rescoring for both anchor directions, on device.
 
     query_start/query_end: [B, D] (already OPQ-rotated if applicable).
@@ -101,16 +103,20 @@ def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
     best_s_vec = jnp.take_along_axis(
         svecs, best_s[..., None, None].astype(jnp.int32), axis=2)[:, :, 0]
 
-    # anchor vectors themselves (start vec of the start hit, end vec of end hit)
-    anchor_s_vec = vecs[jnp.clip(s_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
-    anchor_e_vec = vecs[jnp.clip(e_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
-
-    return {
+    out = {
         "end_offset": best_e, "joint_from_start": best_e_score,
-        "end_vec_for_start": best_e_vec, "start_vec_anchor": anchor_s_vec,
         "start_offset": best_s - (L - 1), "joint_from_end": best_s_score,
-        "start_vec_for_end": best_s_vec, "end_vec_anchor": anchor_e_vec,
     }
+    if return_vecs:
+        # candidate phrase vectors — only materialized (and shipped to host)
+        # for query-side fine-tuning (ref: index.py:380-389 return_idxs)
+        anchor_s_vec = vecs[jnp.clip(s_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
+        anchor_e_vec = vecs[jnp.clip(e_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
+        out.update({
+            "end_vec_for_start": best_e_vec, "start_vec_anchor": anchor_s_vec,
+            "start_vec_for_end": best_s_vec, "end_vec_anchor": anchor_e_vec,
+        })
+    return out
 
 
 _SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(\[])")
@@ -132,8 +138,9 @@ class MIPS:
     """On-TPU phrase search engine (API parity with ref MIPS, index.py:23)."""
 
     def __init__(self, store: PhraseStore, index=None, rotation: Optional[np.ndarray] = None,
-                 mesh=None, shard_axis: str = "shard"):
+                 mesh=None, shard_axis: str = "shard", collect_stats: bool = False):
         self.store = store
+        self.collect_stats = collect_stats
         self.R = None if rotation is None else jnp.asarray(rotation, jnp.float32)
         if index is None:
             index = FlatIndex(np.asarray(store.vecs), store.offset, store.scale,
@@ -156,26 +163,33 @@ class MIPS:
         self.doc_end_dev = jnp.asarray(doc_end_row)
         self.doc_base_dev = jnp.asarray(doc_base_row)
         self.num_docs_list: List[float] = []
+        # stage-timer decomposition (ref ad-hoc spans: index.py:194-218 etc.)
+        self.timer = StageTimer()
 
     # ---------------- stage 1 ----------------
-    def search_dense(self, query: np.ndarray, top_k: int = 10, nprobe: int = 256):
-        """query: [B, 2D] — returns start/end hit ids + scores
-        (ref: index.py:189-218)."""
+    def search_dense(self, query, top_k: int = 10, nprobe: int = 256):
+        """query: [B, 2D] (np or device array) — returns start/end hit ids +
+        scores as DEVICE arrays (ref: index.py:189-218). Hit ids stay on
+        device so stage 2 needs no host round-trip."""
+        query = jnp.asarray(query, jnp.float32)
         b = query.shape[0]
-        qs, qe = np.split(query.astype(np.float32), 2, axis=1)
-        stacked = np.concatenate([qs, qe], axis=0)
+        qs, qe = jnp.split(query, 2, axis=1)
+        stacked = jnp.concatenate([qs, qe], axis=0)
         if self.R is not None:
-            stacked = stacked @ np.asarray(self.R)  # rotate queries into code space
-        scores, gids = self.index.search(stacked, top_k, nprobe=nprobe)
+            stacked = stacked @ self.R  # rotate queries into code space
+        with self.timer.stage("mips_device"):
+            scores, gids = self.index.search(stacked, top_k, nprobe=nprobe,
+                                             as_numpy=False)
         s_scores, e_scores = scores[:b], scores[b:]
         s_gids, e_gids = gids[:b], gids[b:]
 
-        s_doc, _ = self.store.global_to_doc(s_gids)
-        e_doc, _ = self.store.global_to_doc(e_gids)
-        num_docs = sum(
-            len(set(sd.tolist()) | set(ed.tolist())) for sd, ed in zip(s_doc, e_doc)
-        ) / max(b, 1)
-        self.num_docs_list.append(num_docs)
+        if self.collect_stats:  # unique-docs-per-query stat (ref: :210-215)
+            s_doc, _ = self.store.global_to_doc(np.asarray(s_gids))
+            e_doc, _ = self.store.global_to_doc(np.asarray(e_gids))
+            num_docs = sum(
+                len(set(sd.tolist()) | set(ed.tolist()))
+                for sd, ed in zip(s_doc, e_doc)) / max(b, 1)
+            self.num_docs_list.append(num_docs)
         return s_gids, e_gids, s_scores, e_scores
 
     # ---------------- stage 2 ----------------
@@ -185,20 +199,24 @@ class MIPS:
         """Constrained span rescore + host result assembly
         (ref: index.py:220-422)."""
         b, k = s_gids.shape
-        qs, qe = np.split(query.astype(np.float32), 2, axis=1)
+        query = jnp.asarray(query, jnp.float32)
+        qs, qe = jnp.split(query, 2, axis=1)
         if self.R is not None:
-            qs = qs @ np.asarray(self.R)
-            qe = qe @ np.asarray(self.R)
+            qs = qs @ self.R
+            qe = qe @ self.R
 
-        res = _rescore_spans(
-            jnp.asarray(qs), jnp.asarray(qe),
-            jnp.asarray(s_gids), jnp.asarray(e_gids),
-            jnp.asarray(s_scores), jnp.asarray(e_scores),
-            self.vecs_dev, self.f2o_dev, self.doc_end_dev, self.doc_base_dev,
-            jnp.float32(self.store.offset), jnp.float32(self.store.scale),
-            max_answer_length=max_answer_length,
-        )
-        res = {kk: np.asarray(vv) for kk, vv in res.items()}
+        with self.timer.stage("rescore_device"):
+            res = _rescore_spans(
+                qs, qe,
+                jnp.asarray(s_gids), jnp.asarray(e_gids),
+                jnp.asarray(s_scores), jnp.asarray(e_scores),
+                self.vecs_dev, self.f2o_dev, self.doc_end_dev, self.doc_base_dev,
+                jnp.float32(self.store.offset), jnp.float32(self.store.scale),
+                max_answer_length=max_answer_length, return_vecs=return_idxs,
+            )
+            # ONE bundled device→host transfer for everything stage 3 needs
+            res, s_gids, e_gids = jax.device_get(
+                (res, jnp.asarray(s_gids), jnp.asarray(e_gids)))
 
         # Assemble per-query candidate list: for each of the K start hits a
         # (start, best end) span, then for each of the K end hits a
@@ -215,43 +233,45 @@ class MIPS:
             end_vecs = np.concatenate(
                 [res["end_vec_for_start"], res["end_vec_anchor"]], axis=1)
 
-        out = []
-        store = self.store
-        for bi in range(b):
-            cands = []
-            doc_pos, s_local = store.global_to_doc(span_start_gids[bi])
-            _, e_local = store.global_to_doc(span_end_gids[bi])
-            for ci in range(span_start_gids.shape[1]):
-                score = float(span_scores[bi, ci])
-                if score <= SCORE_FLOOR:
-                    continue
-                dpos = int(doc_pos[ci])
-                meta = store.meta(dpos)
-                sl, el = int(s_local[ci]), int(e_local[ci])
-                if sl < 0 or el < 0 or sl >= len(meta.f2o_start) or el >= len(meta.f2o_start):
-                    continue
-                start_pos = int(meta.word2char_start[meta.f2o_start[sl]])
-                if len(meta.word2char_end) > 0 and el >= 0:
-                    end_pos = int(meta.word2char_end[meta.f2o_start[el]])
-                else:
-                    end_pos = start_pos + 1
-                each = {
-                    "context": meta.context,
-                    "title": [meta.title],
-                    "doc_idx": int(store.doc_ids[dpos]),
-                    "start_pos": start_pos, "end_pos": end_pos,
-                    "start_idx": sl, "end_idx": el,
-                    "score": score,
-                    "start_vec": start_vecs[bi, ci] if return_idxs else None,
-                    "end_vec": end_vecs[bi, ci] if return_idxs else None,
-                }
-                each["answer"] = each["context"][each["start_pos"]:each["end_pos"]]
-                each = self.adjust(each)
-                if return_sent:
-                    each = self.adjust_sent(each)
-                cands.append(each)
-            cands.sort(key=lambda x: -x["score"])
-            out.append(cands)
+        with self.timer.stage("assemble_host"):
+            out = []
+            store = self.store
+            for bi in range(b):
+                cands = []
+                doc_pos, s_local = store.global_to_doc(span_start_gids[bi])
+                _, e_local = store.global_to_doc(span_end_gids[bi])
+                for ci in range(span_start_gids.shape[1]):
+                    score = float(span_scores[bi, ci])
+                    if score <= SCORE_FLOOR:
+                        continue
+                    dpos = int(doc_pos[ci])
+                    meta = store.meta(dpos)
+                    sl, el = int(s_local[ci]), int(e_local[ci])
+                    if sl < 0 or el < 0 or sl >= len(meta.f2o_start) \
+                            or el >= len(meta.f2o_start):
+                        continue
+                    start_pos = int(meta.word2char_start[meta.f2o_start[sl]])
+                    if len(meta.word2char_end) > 0 and el >= 0:
+                        end_pos = int(meta.word2char_end[meta.f2o_start[el]])
+                    else:
+                        end_pos = start_pos + 1
+                    each = {
+                        "context": meta.context,
+                        "title": [meta.title],
+                        "doc_idx": int(store.doc_ids[dpos]),
+                        "start_pos": start_pos, "end_pos": end_pos,
+                        "start_idx": sl, "end_idx": el,
+                        "score": score,
+                        "start_vec": start_vecs[bi, ci] if return_idxs else None,
+                        "end_vec": end_vecs[bi, ci] if return_idxs else None,
+                    }
+                    each["answer"] = each["context"][each["start_pos"]:each["end_pos"]]
+                    each = self.adjust(each)
+                    if return_sent:
+                        each = self.adjust_sent(each)
+                    cands.append(each)
+                cands.sort(key=lambda x: -x["score"])
+                out.append(cands)
         return out
 
     # ---------------- context adjustment (ref: index.py:167-187) -----------
@@ -309,7 +329,7 @@ class MIPS:
                aggregate: bool = False, return_idxs: bool = False,
                max_answer_length: int = 10, agg_strat: str = "opt1",
                return_sent: bool = False):
-        query = np.asarray(query)
+        query = jnp.asarray(query, jnp.float32)
         s_gids, e_gids, s_scores, e_scores = self.search_dense(
             query, top_k=top_k, nprobe=nprobe)
         outs = self.search_phrase(

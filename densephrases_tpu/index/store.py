@@ -56,14 +56,16 @@ class DocMeta:
     f2o_start: np.ndarray  # int32 [n_vecs] filtered→original word position
 
     def compress(self) -> dict:
-        return {
-            "doc_id": self.doc_id,
-            "title": self.title,
-            "context": zlib.compress(self.context.encode("utf-8")),
-            "word2char_start": zlib.compress(self.word2char_start.astype(np.int32).tobytes()),
-            "word2char_end": zlib.compress(self.word2char_end.astype(np.int32).tobytes()),
-            "f2o_start": zlib.compress(self.f2o_start.astype(np.int32).tobytes()),
+        raw = {
+            "context": self.context.encode("utf-8"),
+            "word2char_start": self.word2char_start.astype(np.int32).tobytes(),
+            "word2char_end": self.word2char_end.astype(np.int32).tobytes(),
+            "f2o_start": self.f2o_start.astype(np.int32).tobytes(),
         }
+        out = {"doc_id": self.doc_id, "title": self.title,
+               "sizes": {k: len(v) for k, v in raw.items()}}
+        out.update({k: zlib.compress(v) for k, v in raw.items()})
+        return out
 
     @staticmethod
     def decompress(d: dict) -> "DocMeta":
@@ -124,10 +126,11 @@ class StoreWriter:
         self.add_doc_raw(meta.doc_id, codes, meta.compress())
 
     def finalize(self) -> "PhraseStore":
+        from densephrases_tpu import native
+
         vecs = (np.concatenate(self._vec_chunks, axis=0)
                 if self._vec_chunks else np.zeros((0, self.dim), np.int8))
-        with open(os.path.join(self.path, "vecs.int8"), "wb") as f:
-            f.write(vecs.tobytes())
+        native.write_bytes(os.path.join(self.path, "vecs.int8"), vecs)
         np.save(os.path.join(self.path, "doc_bases.npy"),
                 np.asarray(self._doc_bases, np.int64))
         np.save(os.path.join(self.path, "doc_ids.npy"),
@@ -207,6 +210,38 @@ class PhraseStore:
         if doc_pos not in self._meta_cache:
             self._meta_cache[doc_pos] = DocMeta.decompress(self.metas[doc_pos])
         return self._meta_cache[doc_pos]
+
+    def preload_metas(self):
+        """Decompress ALL doc metadata into the cache using the native
+        parallel zlib codec — the serve-time 'metadata on RAM' mode
+        (ref: index.py:69-76 meta_compressed.pkl preloading)."""
+        from densephrases_tpu import native
+
+        todo = [i for i in range(self.num_docs) if i not in self._meta_cache]
+        if not todo:
+            return self
+        keys = ("context", "word2char_start", "word2char_end", "f2o_start")
+        bufs, sizes = [], []
+        for i in todo:
+            m = self.metas[i]
+            known = m.get("sizes")
+            for k in keys:
+                bufs.append(m[k])
+                sizes.append(known[k] if known else -1)
+        if all(s >= 0 for s in sizes):
+            outs = native.decompress_batch(bufs, sizes)
+        else:  # legacy store without size metadata
+            outs = [zlib.decompress(b) for b in bufs]
+        for j, i in enumerate(todo):
+            c, ws, we, fo = outs[4 * j: 4 * j + 4]
+            self._meta_cache[i] = DocMeta(
+                doc_id=self.metas[i]["doc_id"], title=self.metas[i]["title"],
+                context=c.decode("utf-8"),
+                word2char_start=np.frombuffer(ws, np.int32),
+                word2char_end=np.frombuffer(we, np.int32),
+                f2o_start=np.frombuffer(fo, np.int32),
+            )
+        return self
 
     def global_to_doc(self, gids: np.ndarray):
         """Map global vec ids → (doc position, local vec position).

@@ -60,7 +60,9 @@ class DensePhrases:
         self.attn_impl = attn_impl
 
     # ----- query encoding (ref: open_utils.py:83-101 query2vec) -----
-    def query2vec(self, queries: List[str]) -> np.ndarray:
+    def query2vec(self, queries: List[str]):
+        """Returns [B, 2H] query vectors as a DEVICE array — the subsequent
+        MIPS stages consume it on device, so no host round-trip occurs."""
         feats = convert_questions_to_features(
             queries, self.tokenizer, self.max_query_length)
         ids = jnp.asarray(np.stack([f.input_ids for f in feats]))
@@ -68,7 +70,7 @@ class DensePhrases:
         tt = jnp.asarray(np.stack([f.token_type_ids for f in feats]))
         qs, qe = _query_forward(self.params, ids, am, tt,
                                 config=self.config, attn_impl=self.attn_impl)
-        return np.concatenate([np.asarray(qs), np.asarray(qe)], axis=1)  # [B, 2H]
+        return jnp.concatenate([qs, qe], axis=1)  # [B, 2H]
 
     # ----- search (ref: model.py:55-109) -----
     def search(self, query: Union[str, List[str]], retrieval_unit: str = "phrase",
