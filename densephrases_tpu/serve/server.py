@@ -106,9 +106,14 @@ def make_index_app(model, default_top_k: int = 10,
         def get(self):
             self.write(json.dumps({"examples": examples or []}))
 
+    import os
+
+    static_dir = os.path.join(os.path.dirname(__file__), "static")
     return tornado.web.Application([
         (r"/api", Api), (r"/batch_api", BatchApi),
         (r"/get_examples", GetExamples),
+        (r"/(.*)", tornado.web.StaticFileHandler,
+         {"path": static_dir, "default_filename": "index.html"}),
     ])
 
 
