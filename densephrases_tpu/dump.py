@@ -99,52 +99,20 @@ def dump_phrases(
     if not all_feats:
         return writer.finalize()
 
-    # Batched forward over all windows (padding the tail batch).
-    n = len(all_feats)
-    starts = np.zeros((n, max_seq_length, hidden), np.float32)
-    fs = np.zeros((n, max_seq_length), np.float32)
-    fe = np.zeros((n, max_seq_length), np.float32)
-    for b0 in range(0, n, batch_size):
-        chunk = all_feats[b0: b0 + batch_size]
-        pad_to = batch_size
-        ids = np.stack([f.input_ids for f in chunk])
-        am = np.stack([f.attention_mask for f in chunk])
-        tt = np.stack([f.token_type_ids for f in chunk])
-        if len(chunk) < pad_to:
-            extra = pad_to - len(chunk)
-            ids = np.concatenate([ids, np.zeros((extra,) + ids.shape[1:], ids.dtype)])
-            am = np.concatenate([am, np.zeros((extra,) + am.shape[1:], am.dtype)])
-            tt = np.concatenate([tt, np.zeros((extra,) + tt.shape[1:], tt.dtype)])
-        s, f_s, f_e = _phrase_forward(
-            params, jnp.asarray(ids), jnp.asarray(am), jnp.asarray(tt),
-            config=config, attn_impl=attn_impl)
-        s, f_s, f_e = np.asarray(s), np.asarray(f_s), np.asarray(f_e)
-        starts[b0: b0 + len(chunk)] = s[: len(chunk)]
-        fs[b0: b0 + len(chunk)] = f_s[: len(chunk)]
-        fe[b0: b0 + len(chunk)] = f_e[: len(chunk)]
+    # Streaming batched forward: windows are doc-ordered, so a document can
+    # be flushed as soon as the stream moves past its last window — host
+    # memory stays O(batch + one document), not O(corpus)
+    # (role parity with the reference's streaming writer pipeline,
+    # ref: embed_utils.py:201-301, minus the process/thread queues).
+    pending: Dict[int, List[np.ndarray]] = {}
 
-    # Reassemble per doc: concat content-token vectors across its windows.
-    feat_by_doc: Dict[int, List[int]] = {}
-    for i, f in enumerate(all_feats):
-        feat_by_doc.setdefault(f.doc_id, []).append(i)
-
-    for did in doc_order:
-        rows = feat_by_doc.get(did, [])
-        vec_parts, fs_parts, fe_parts = [], [], []
-        for i in sorted(rows, key=lambda i: all_feats[i].doc_token_offset):
-            f = all_feats[i]
-            c0, c1 = f.content_start, f.content_start + f.content_len
-            vec_parts.append(starts[i, c0:c1])
-            fs_parts.append(fs[i, c0:c1])
-            fe_parts.append(fe[i, c0:c1])
-        if not vec_parts:
-            continue
-        doc_vecs = np.concatenate(vec_parts, axis=0)
-        doc_fs = np.concatenate(fs_parts, axis=0)
-        doc_fe = np.concatenate(fe_parts, axis=0)
+    def flush_doc(did: int):
+        parts = pending.pop(did)
+        doc_vecs = np.concatenate([p[0] for p in parts], axis=0)
+        doc_fs = np.concatenate([p[1] for p in parts], axis=0)
+        doc_fe = np.concatenate([p[2] for p in parts], axis=0)
         codes, f2o = filter_and_quantize(
             doc_vecs, doc_fs, doc_fe, filter_threshold, offset, scale)
-
         ctx = doc_ctxs[did]
         # word2char maps are per *token* position (ref: embed_utils.py:89-105):
         w2c_start = ctx.word_char_start[ctx.tok2word]
@@ -156,6 +124,33 @@ def dump_phrases(
             f2o_start=f2o,
         )
         writer.add_doc(meta, codes)
+
+    n = len(all_feats)
+    open_doc: Optional[int] = None
+    for b0 in range(0, n, batch_size):
+        chunk = all_feats[b0: b0 + batch_size]
+        ids = np.stack([f.input_ids for f in chunk])
+        am = np.stack([f.attention_mask for f in chunk])
+        tt = np.stack([f.token_type_ids for f in chunk])
+        if len(chunk) < batch_size:
+            extra = batch_size - len(chunk)
+            ids = np.concatenate([ids, np.zeros((extra,) + ids.shape[1:], ids.dtype)])
+            am = np.concatenate([am, np.zeros((extra,) + am.shape[1:], am.dtype)])
+            tt = np.concatenate([tt, np.zeros((extra,) + tt.shape[1:], tt.dtype)])
+        s, f_s, f_e = _phrase_forward(
+            params, jnp.asarray(ids), jnp.asarray(am), jnp.asarray(tt),
+            config=config, attn_impl=attn_impl)
+        s, f_s, f_e = np.asarray(s), np.asarray(f_s), np.asarray(f_e)
+        for j, f in enumerate(chunk):
+            c0, c1 = f.content_start, f.content_start + f.content_len
+            pending.setdefault(f.doc_id, []).append(
+                (s[j, c0:c1], f_s[j, c0:c1], f_e[j, c0:c1]))
+            if open_doc is not None and open_doc != f.doc_id \
+                    and open_doc in pending:
+                flush_doc(open_doc)
+            open_doc = f.doc_id
+    for did in list(pending):
+        flush_doc(did)
 
     store = writer.finalize()
     logger.info("dumped %d docs, %d vectors to %s",

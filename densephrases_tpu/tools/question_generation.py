@@ -1,0 +1,111 @@
+"""Question generation for RC training augmentation.
+
+Parity with ref: scripts/question_generation/generate_squad.py (T5-based QG
+over paragraphs to synthesize SQuAD-style training data) and filter_qg.py
+(round-trip consistency filtering).
+
+The reference shells out to an external T5 ``question_generation`` repo;
+this module accepts ANY callable ``qg_fn(context) -> [(question, answer)]``
+so a seq2seq model can be plugged in when weights are available (no hub
+access in this build environment), and ships a noisy-cloze fallback
+generator so the augmentation + filtering pipeline runs self-contained.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import random
+import re
+from typing import Callable, List, Optional, Tuple
+
+logger = logging.getLogger(__name__)
+
+_ENT_RE = re.compile(r"\b([A-Z][a-zA-Z0-9]+(?: [A-Z][a-zA-Z0-9]+)*|\d{4}|\d+)\b")
+
+
+def cloze_qg(context: str, max_questions: int = 3, seed: int = 0
+             ) -> List[Tuple[str, str]]:
+    """Noisy-cloze generator: pick entity-like spans as answers, turn their
+    sentence into a wh-cloze question. Weak but self-contained; the official
+    T5 route plugs in via the qg_fn parameter."""
+    rng = random.Random(seed)
+    out = []
+    sents = re.split(r"(?<=[.!?])\s+", context)
+    cands = []
+    for sent in sents:
+        for m in _ENT_RE.finditer(sent):
+            # skip sentence-initial capitalized words (likely not entities)
+            if m.start() == 0:
+                continue
+            cands.append((sent, m.group(0)))
+    rng.shuffle(cands)
+    for sent, ans in cands[:max_questions]:
+        wh = "when" if ans.isdigit() else "what"
+        question = f"{wh} is " + sent.replace(ans, "").strip().rstrip(".?!,")
+        question = re.sub(r"\s+", " ", question)[:200]
+        out.append((question, ans))
+    return out
+
+
+def generate_squad(docs: List[dict], out_path: str,
+                   qg_fn: Optional[Callable] = None,
+                   max_questions_per_par: int = 3, seed: int = 0) -> int:
+    """docs: [{'title', 'paragraphs': [str]}] → SQuAD-format QG file
+    (ref: generate_squad.py)."""
+    qg = qg_fn or (lambda ctx: cloze_qg(ctx, max_questions_per_par, seed))
+    data = []
+    n_q = 0
+    for doc in docs:
+        paragraphs = []
+        for par in doc["paragraphs"]:
+            qas = []
+            for q, a in qg(par):
+                start = par.find(a)
+                if start < 0:
+                    continue
+                qas.append({
+                    "id": f"qg-{n_q}", "question": q,
+                    "answers": [{"text": a, "answer_start": start}],
+                })
+                n_q += 1
+            if qas:
+                paragraphs.append({"context": par, "qas": qas})
+        if paragraphs:
+            data.append({"title": doc.get("title", ""),
+                         "paragraphs": paragraphs})
+    with open(out_path, "w") as f:
+        json.dump({"data": data}, f)
+    logger.info("generated %d questions → %s", n_q, out_path)
+    return n_q
+
+
+def filter_qg(qg_path: str, out_path: str, answer_fn: Callable[[str, str], str],
+              match: str = "em") -> int:
+    """Round-trip filtering: keep a generated QA pair only when a reader
+    answers the question with (a superset of) the original answer
+    (ref: filter_qg.py). answer_fn(question, context) -> predicted answer."""
+    from densephrases_tpu.eval.metrics import exact_match_score, f1_score
+
+    data = json.load(open(qg_path))["data"]
+    kept_data = []
+    kept = 0
+    for art in data:
+        new_pars = []
+        for par in art["paragraphs"]:
+            new_qas = []
+            for qa in par["qas"]:
+                pred = answer_fn(qa["question"], par["context"])
+                gold = qa["answers"][0]["text"]
+                ok = (exact_match_score(pred, gold) if match == "em"
+                      else f1_score(pred, gold)[0] > 0.5)
+                if ok:
+                    new_qas.append(qa)
+                    kept += 1
+            if new_qas:
+                new_pars.append({"context": par["context"], "qas": new_qas})
+        if new_pars:
+            kept_data.append({"title": art["title"], "paragraphs": new_pars})
+    with open(out_path, "w") as f:
+        json.dump({"data": kept_data}, f)
+    return kept

@@ -1,0 +1,87 @@
+"""Tests: KILT tooling, question generation, workflow make targets."""
+
+import json
+import subprocess
+
+import pytest
+
+from densephrases_tpu.tools.kilt_tools import (
+    build_title2wikiid,
+    sample_jsonl,
+    strip_predictions,
+)
+from densephrases_tpu.tools.question_generation import (
+    cloze_qg,
+    filter_qg,
+    generate_squad,
+)
+
+
+def test_build_title2wikiid(tmp_path):
+    ks = tmp_path / "ks.jsonl"
+    with open(ks, "w") as f:
+        f.write(json.dumps({"wikipedia_id": "123",
+                            "wikipedia_title": "Paris"}) + "\n")
+        f.write(json.dumps({"wikipedia_id": "456",
+                            "wikipedia_title": "London"}) + "\n")
+    out = str(tmp_path / "map.json")
+    mapping = build_title2wikiid(str(ks), out)
+    assert mapping == {"Paris": "123", "London": "456"}
+    assert json.load(open(out))["Paris"] == "123"
+
+
+def test_strip_and_sample(tmp_path):
+    pred = tmp_path / "pred.jsonl"
+    with open(pred, "w") as f:
+        for i in range(10):
+            f.write(json.dumps({"id": i, "input": "q", "output": [],
+                                "extra": "junk"}) + "\n")
+    out = str(tmp_path / "stripped.jsonl")
+    assert strip_predictions(str(pred), out) == 10
+    row = json.loads(open(out).readline())
+    assert "extra" not in row and "id" in row
+    out2 = str(tmp_path / "sample.jsonl")
+    assert sample_jsonl(str(pred), out2, 3) == 3
+    assert len(open(out2).readlines()) == 3
+
+
+def test_cloze_qg_and_generate(tmp_path):
+    ctx = ("The fourth season premiered on NBC in June 2009. "
+           "Kevin Skinner was named the winner in September 2009.")
+    qas = cloze_qg(ctx, max_questions=5)
+    assert qas, "no questions generated"
+    assert all(a in ctx for _, a in qas)
+
+    docs = [{"title": "T", "paragraphs": [ctx]}]
+    out = str(tmp_path / "qg.json")
+    n = generate_squad(docs, out)
+    assert n > 0
+    data = json.load(open(out))["data"]
+    qa = data[0]["paragraphs"][0]["qas"][0]
+    a = qa["answers"][0]
+    assert ctx[a["answer_start"]:a["answer_start"] + len(a["text"])] == a["text"]
+
+
+def test_filter_qg_round_trip(tmp_path):
+    ctx = "Kevin Skinner won the show in 2009."
+    docs = [{"title": "T", "paragraphs": [ctx]}]
+    qg_path = str(tmp_path / "qg.json")
+    generate_squad(docs, qg_path)
+
+    # oracle reader answers correctly → all kept
+    def oracle(question, context):
+        data = json.load(open(qg_path))["data"]
+        for art in data:
+            for par in art["paragraphs"]:
+                for qa in par["qas"]:
+                    if qa["question"] == question:
+                        return qa["answers"][0]["text"]
+        return ""
+
+    out = str(tmp_path / "filtered.json")
+    kept = filter_qg(qg_path, out, oracle)
+    assert kept > 0
+
+    # broken reader → nothing kept
+    out2 = str(tmp_path / "filtered2.json")
+    assert filter_qg(qg_path, out2, lambda q, c: "garbage") == 0
