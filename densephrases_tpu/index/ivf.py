@@ -49,6 +49,49 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
+                   balance_factor: float = 4.0, rounds: int = 3,
+                   seed: int = 0, verbose: bool = False):
+    """Split oversized inverted lists: seed extra centroids from members of
+    lists longer than balance_factor×mean, then one Lloyd refinement +
+    reassignment per round. Grows the centroid count as needed."""
+    import logging
+
+    rng = np.random.default_rng(seed + 7)
+    for _ in range(rounds):
+        k = centroids.shape[0]
+        counts = np.bincount(assign, minlength=k)
+        mean_len = max(len(x) / k, 1.0)
+        cap = balance_factor * mean_len
+        oversized = np.nonzero(counts > cap)[0]
+        if len(oversized) == 0:
+            break
+        new_cents = [centroids]
+        for li in oversized:
+            members = np.nonzero(assign == li)[0]
+            n_extra = int(np.ceil(counts[li] / cap)) - 1
+            picks = rng.choice(members, size=min(n_extra, len(members)),
+                               replace=False)
+            new_cents.append(x[picks])
+        centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
+        # one Lloyd refinement over the (enlarged) centroid set
+        assign = np.asarray(kmeans_assign(
+            jnp.asarray(x), jnp.asarray(centroids), chunk=2048))
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, x)
+        cnt = np.bincount(assign, minlength=centroids.shape[0]).astype(np.float32)
+        nz = cnt > 0
+        centroids[nz] = sums[nz] / cnt[nz, None]
+        assign = np.asarray(kmeans_assign(
+            jnp.asarray(x), jnp.asarray(centroids), chunk=2048))
+        if verbose:
+            logging.getLogger(__name__).info(
+                "balance round: k %d→%d, max list %d",
+                k, centroids.shape[0],
+                int(np.bincount(assign, minlength=centroids.shape[0]).max()))
+    return centroids, assign
+
+
 @dataclass
 class IVFConfig:
     num_clusters: int = 1024
@@ -62,6 +105,11 @@ class IVFConfig:
     # with PQ, rescore those rows against the store's int8 codes (which the
     # phrase store keeps for stage-2 span search anyway), keep top-k.
     refine_factor: int = 4
+    # hard ceiling on per-list scan length: lists longer than this are
+    # truncated at search time (skew guard; logged at build)
+    max_list_scan: int = 16384
+    # lists longer than balance_factor * mean are split at build time
+    balance_factor: float = 4.0
 
 
 class IVFIndex:
@@ -86,6 +134,14 @@ class IVFIndex:
                              else jnp.asarray(refine_codes))  # [N, D] int8
         lens = np.diff(np.asarray(list_offsets))
         self.cap = int(_round_up(max(int(lens.max()), 8), 8))
+        if self.cap > cfg.max_list_scan:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "IVF list skew: longest list %d > max_list_scan %d; "
+                "oversized lists will be scan-truncated", self.cap,
+                cfg.max_list_scan)
+            self.cap = cfg.max_list_scan
         self._search_cache = {}
 
     # ------------------------------------------------------------- build
@@ -109,8 +165,21 @@ class IVFIndex:
                               seed=cfg.seed, verbose=verbose,
                               chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)))
 
-        # --- coarse assignment by max inner product
-        assign = np.asarray(_ip_assign(jnp.asarray(x), jnp.asarray(centroids)))
+        # --- coarse assignment by L2 (consistent with the k-means objective,
+        # so lists stay balanced; the reference's IndexFlatIP add-time
+        # assignment is skew-prone when centroids are correlated). Probing
+        # remains max-inner-product over centroids (ref: index.py:53,62).
+        assign = np.asarray(kmeans_assign(
+            jnp.asarray(x), jnp.asarray(centroids), chunk=2048))
+
+        # --- balance: split oversized lists by seeding extra centroids from
+        # their members and re-running Lloyd. Bounded list length is what
+        # makes the fixed-cap TPU scan bandwidth-efficient (no FAISS analog
+        # needed there: CPU scans tolerate ragged lists, our MXU scan wants
+        # uniform tiles).
+        centroids, assign = _balance_lists(
+            x, centroids, assign, balance_factor=cfg.balance_factor,
+            rounds=3, seed=cfg.seed, verbose=verbose)
 
         # --- fine quantization
         rotation = None
@@ -136,7 +205,7 @@ class IVFIndex:
         order = np.argsort(assign, kind="stable")
         sorted_assign = assign[order]
         list_offsets = np.searchsorted(
-            sorted_assign, np.arange(cfg.num_clusters + 1)).astype(np.int32)
+            sorted_assign, np.arange(centroids.shape[0] + 1)).astype(np.int32)
         sorted_codes = fine_codes[order]
         # pad with CAP extra rows so dynamic_slice never clamps into data
         lens = np.diff(list_offsets)
@@ -152,13 +221,135 @@ class IVFIndex:
                         rotation=rotation, pq=pq, offset=offset, scale=scale,
                         n_total=n, refine_codes=refine)
 
+    # ------------------------------------------------------- union search
+    def search_union(self, queries, top_k: int = 10, nprobe: int = 64):
+        """Batched union-scan search — the bandwidth-optimal formulation for
+        query batches.
+
+        Rationale: the per-probe dynamic-slice scan reads each query's probed
+        lists separately, so HBM traffic multiplies by the batch size. But
+        within a batch the probed lists overlap heavily; here we gather the
+        UNION of all probed lists once, score EVERY query against the shared
+        candidate matrix with one chunked MXU matmul, and mask each query's
+        scores down to rows whose list it actually probed. When the union
+        approaches the whole corpus this degrades gracefully into the flat
+        scan (which is then genuinely optimal).
+
+        Returns (scores [B, K] np, gids [B, K] np int64)."""
+        queries = jnp.asarray(queries, jnp.float32)
+        b, d = queries.shape
+        nprobe = min(nprobe, int(self.centroids.shape[0]))
+        q_rot = queries if self.rotation is None else queries @ self.rotation
+
+        c_scores = jnp.einsum("bd,nd->bn", queries.astype(jnp.bfloat16),
+                              self.centroids.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        _, probe_ids = jax.lax.top_k(c_scores, nprobe)
+        probe_np = np.asarray(probe_ids)  # [B, nprobe] — small download
+
+        # host: union of probed lists → candidate row ranges
+        offs = np.asarray(self.list_offsets)
+        uniq = np.unique(probe_np.reshape(-1))
+        row_chunks = [np.arange(offs[li], offs[li + 1]) for li in uniq]
+        rows = (np.concatenate(row_chunks) if row_chunks
+                else np.zeros(0, np.int64)).astype(np.int64)
+        row_list = np.concatenate([
+            np.full(offs[li + 1] - offs[li], li, np.int32) for li in uniq
+        ]) if row_chunks else np.zeros(0, np.int32)
+
+        # pad the union to a bucket size (recompile per bucket, cached)
+        u = max(len(rows), 1)
+        bucket = 1 << max(int(np.ceil(np.log2(u))), 10)
+        pad = bucket - len(rows)
+        rows_p = np.concatenate([rows, np.zeros(pad, np.int64)])
+        row_list_p = np.concatenate([row_list, np.full(pad, -1, np.int32)])
+
+        # membership bitmap over lists [B, nlist] (uint8)
+        member = np.zeros((b, int(self.centroids.shape[0])), np.uint8)
+        for bi in range(b):
+            member[bi, probe_np[bi]] = 1
+
+        vals, ids = self._union_score(
+            q_rot, queries, jnp.asarray(rows_p), jnp.asarray(row_list_p),
+            jnp.asarray(member), top_k)
+        return np.asarray(vals), np.asarray(ids)
+
+    @functools.partial(jax.jit, static_argnames=("self", "top_k"))
+    def _union_score(self, q_rot, q_raw, rows, row_list, member, top_k: int):
+        b = q_rot.shape[0]
+        u = rows.shape[0]
+        chunk = min(u, 16384)
+        n_chunks = u // chunk
+        is_pq = self.pq_books is not None
+        do_refine = is_pq and self.refine_codes is not None
+        scan_k = top_k * self.cfg.refine_factor if do_refine else top_k
+        if is_pq:
+            lut = pq_lut(self.pq_books, q_rot).astype(jnp.bfloat16)  # [B,M,K]
+            m = lut.shape[1]
+            flat_lut = lut.reshape(b, m * 256)
+        else:
+            qsum = q_rot.sum(-1) * self.offset
+            q_bf = q_rot.astype(jnp.bfloat16)
+
+        def body(carry, i):
+            best_s, best_i = carry
+            sl = jax.lax.dynamic_slice(rows, (i * chunk,), (chunk,))
+            rl = jax.lax.dynamic_slice(row_list, (i * chunk,), (chunk,))
+            cand = self.codes[jnp.clip(sl, 0, self.codes.shape[0] - 1)]
+            if is_pq:
+                ksub = 256
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (chunk, cand.shape[1], ksub), 2)
+                oh = (cand[..., None].astype(jnp.int32) == iota
+                      ).reshape(chunk, -1).astype(jnp.bfloat16)
+                s = jax.lax.dot_general(
+                    flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [B, chunk]
+            else:
+                s = jax.lax.dot_general(
+                    q_bf, cand.astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                s = s / self.scale + qsum[:, None]
+            ok = (rl >= 0)[None, :] & (
+                jnp.take_along_axis(
+                    member, jnp.broadcast_to(
+                        jnp.clip(rl, 0)[None, :], (b, chunk)), axis=1) > 0)
+            s = jnp.where(ok, s, NEG_INF)
+            cat_s = jnp.concatenate([best_s, s], axis=1)
+            cat_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(sl[None, :], (b, chunk))], axis=1)
+            vals, pos = jax.lax.top_k(cat_s, scan_k)
+            ids = jnp.take_along_axis(cat_i, pos, axis=1)
+            return (vals, ids), None
+
+        init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
+                jnp.zeros((b, scan_k), rows.dtype))
+        (vals, sorted_rows), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+        gids = self.row_perm[jnp.clip(sorted_rows, 0,
+                                      self.row_perm.shape[0] - 1)]
+        if do_refine:
+            # exact int8 re-ranking in the UNROTATED space (refine_codes are
+            # the store's raw int8 vectors)
+            cand = self.refine_codes[
+                jnp.clip(gids, 0, self.refine_codes.shape[0] - 1)]
+            qsum_r = q_raw.sum(-1) * self.offset
+            s = jnp.einsum("bd,bcd->bc", q_raw.astype(jnp.bfloat16),
+                           cand.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            s = s / self.scale + qsum_r[:, None]
+            s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
+            vals, pos = jax.lax.top_k(s, top_k)
+            gids = jnp.take_along_axis(gids, pos, axis=1)
+        return vals, gids
+
     # ------------------------------------------------------------- search
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
                as_numpy: bool = True):
         """queries [B, D] f32 → (scores [B, K], global ids [B, K]).
         as_numpy=False keeps results on device."""
         queries = jnp.asarray(queries, jnp.float32)
-        nprobe = min(nprobe, self.cfg.num_clusters)
+        nprobe = min(nprobe, int(self.centroids.shape[0]))
         k = min(top_k, self.n_total)
         key = (k, nprobe)
         if key not in self._search_cache:
@@ -294,18 +485,3 @@ class IVFIndex:
         )
 
 
-@jax.jit
-def _ip_assign(x, centroids):
-    """Assign by max inner product (coarse quantizer = IndexFlatIP parity)."""
-    def body(_, chunk):
-        s = jnp.einsum("cd,nd->cn", chunk.astype(jnp.bfloat16),
-                       centroids.astype(jnp.bfloat16),
-                       preferred_element_type=jnp.float32)
-        return None, jnp.argmax(s, axis=1).astype(jnp.int32)
-
-    n, d = x.shape
-    chunk = 2048
-    pad = (-n) % chunk
-    xp = jnp.concatenate([x, jnp.zeros((pad, d), x.dtype)]) if pad else x
-    _, out = jax.lax.scan(body, None, xp.reshape(-1, chunk, d))
-    return out.reshape(-1)[:n]

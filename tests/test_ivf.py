@@ -138,3 +138,20 @@ def test_ivf_save_load_round_trip(tmp_path):
     v2, i2 = ivf2.search(queries, top_k=5, nprobe=8)
     np.testing.assert_array_equal(i1, i2)
     np.testing.assert_allclose(v1, v2, atol=1e-5)
+
+
+@pytest.mark.parametrize("fine_quant", ["SQ8", "OPQ8"])
+def test_union_search_matches_per_probe(fine_quant):
+    x = _clustered_data(4000, 64, seed=10)
+    codes = float_to_int8(x)
+    queries = _clustered_data(8, 64, seed=11)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64, fine_quant=fine_quant,
+                                          kmeans_iters=5, pq_iters=3,
+                                          opq_iters=2))
+    v1, i1 = ivf.search(queries, top_k=10, nprobe=16)
+    v2, i2 = ivf.search_union(queries, top_k=10, nprobe=16)
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(i1, i2)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(np.sort(v1, 1), np.sort(v2, 1), atol=0.5)
