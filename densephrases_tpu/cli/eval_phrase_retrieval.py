@@ -46,13 +46,10 @@ def load_model(opts: Options) -> DensePhrases:
                         max_query_length=m.max_query_length, truecase=truecase)
 
 
-def main(argv=None):
-    opts = Options().parse(argv, groups=["model", "index", "retrieval", "data"])
+def evaluate_one(opts: Options, model, test_path: str):
     r = opts.retrieval
-
-    model = load_model(opts)
     qids, questions, answers = load_qa_pairs(
-        r.test_path, draft=opts.draft, truecase=model.truecase)
+        test_path, draft=opts.draft, truecase=model.truecase)
     metrics = evaluate_retrieval(
         model, list(zip(questions, answers)), top_k=r.top_k, regex=r.regex,
         batch_size=r.eval_batch_size)
@@ -60,17 +57,30 @@ def main(argv=None):
     out_dir = opts.data.save_dir or "."
     os.makedirs(out_dir, exist_ok=True)
     pred_path = os.path.join(
-        out_dir, f"pred_{os.path.basename(r.test_path)}_{r.top_k}.json")
+        out_dir, f"pred_{os.path.basename(test_path)}_{r.top_k}.json")
     with open(pred_path, "w") as f:
         json.dump({qid: {"question": q, "prediction": p, "answers": a}
                    for qid, q, p, a in zip(
                        qids, questions, metrics["predictions"], answers)}, f)
+    # append-only results ledger (ref: train_rc.py:402-403)
     with open(os.path.join(out_dir, "eval_logger.txt"), "a") as f:
-        f.write(f"{r.test_path}\tEM@1={metrics['em_top1']:.2f}\t"
+        f.write(f"{test_path}\tEM@1={metrics['em_top1']:.2f}\t"
                 f"EM@{r.top_k}={metrics['em_topk']:.2f}\t"
                 f"F1@1={metrics['f1_top1']:.2f}\n")
     logger.info("predictions → %s", pred_path)
     return metrics
+
+
+def main(argv=None):
+    opts = Options().parse(argv, groups=["model", "index", "retrieval", "data"])
+    model = load_model(opts)
+    # eval_all: comma-separated test paths loop (ref run_mode eval_all,
+    # eval_phrase_retrieval.py:393-417)
+    paths = [p for p in opts.retrieval.test_path.split(",") if p]
+    all_metrics = {}
+    for path in paths:
+        all_metrics[path] = evaluate_one(opts, model, path)
+    return all_metrics[paths[-1]] if len(paths) == 1 else all_metrics
 
 
 if __name__ == "__main__":

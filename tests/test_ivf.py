@@ -155,3 +155,27 @@ def test_union_search_matches_per_probe(fine_quant):
     ])
     assert overlap >= 0.9, overlap
     np.testing.assert_allclose(np.sort(v1, 1), np.sort(v2, 1), atol=0.5)
+
+
+def test_sharded_ivf_matches_single(tmp_path):
+    import jax
+    from densephrases_tpu.index.sharded import ShardedIVF
+
+    x = _clustered_data(4000, 64, seed=12)
+    codes = float_to_int8(x)
+    queries = _clustered_data(8, 64, seed=13)
+    flat = FlatIndex(codes, chunk=512)
+    _, exact_ids = flat.search(queries, top_k=10)
+
+    sharded = ShardedIVF.build(
+        codes, IVFConfig(num_clusters=64, fine_quant="SQ8", kmeans_iters=5),
+        devices=jax.devices("cpu")[:4])
+    assert len(sharded.subs) == 4
+    v, ids = sharded.search(queries, top_k=10, nprobe=16)
+    recall = np.mean([
+        len(set(e.tolist()) & set(i.tolist())) / 10
+        for e, i in zip(exact_ids, ids)
+    ])
+    assert recall >= 0.9, recall
+    # global ids must be valid rows of the full corpus
+    assert (ids >= 0).all() and (ids < codes.shape[0]).all()
