@@ -29,21 +29,21 @@ def main():
     config = BertConfig()  # BERT-base geometry
     params = init_encoder_params(jax.random.PRNGKey(0), config)
 
-    # ---- synthetic corpus: 200k phrase vectors over 2k docs (768-d int8)
+    # ---- synthetic corpus: 1M phrase vectors over 10k docs (768-d int8)
     rng = np.random.default_rng(0)
-    n_docs, vecs_per_doc, d = 2000, 100, config.hidden_size
+    n_docs, vecs_per_doc, d = 10_000, 100, config.hidden_size
     with tempfile.TemporaryDirectory() as tmp:
         writer = StoreWriter(tmp + "/store", d)
+        w2cs = np.arange(vecs_per_doc, dtype=np.int32) * 5
+        w2ce = w2cs + 4
+        f2o = np.arange(vecs_per_doc, dtype=np.int32)
+        ctx = " ".join(["word"] * (vecs_per_doc + 2))
         for doc in range(n_docs):
             vecs = rng.normal(-2, 1, (vecs_per_doc, d)).astype(np.float32)
             writer.add_doc(
-                DocMeta(
-                    doc_id=doc, title=f"doc{doc}",
-                    context=" ".join(["word"] * (vecs_per_doc + 2)),
-                    word2char_start=np.arange(vecs_per_doc, dtype=np.int32) * 5,
-                    word2char_end=np.arange(vecs_per_doc, dtype=np.int32) * 5 + 4,
-                    f2o_start=np.arange(vecs_per_doc, dtype=np.int32),
-                ),
+                DocMeta(doc_id=doc, title=f"doc{doc}", context=ctx,
+                        word2char_start=w2cs, word2char_end=w2ce,
+                        f2o_start=f2o),
                 float_to_int8(vecs),
             )
         store = writer.finalize()

@@ -50,9 +50,14 @@ def evaluate_one(opts: Options, model, test_path: str):
     r = opts.retrieval
     qids, questions, answers = load_qa_pairs(
         test_path, draft=opts.draft, truecase=model.truecase)
+    candidates = None
+    if r.candidate_path and os.path.exists(r.candidate_path):
+        # answer-candidate vocabulary (WebQ eval, ref: --candidate_path)
+        candidates = [line.strip() for line in open(r.candidate_path)
+                      if line.strip()]
     metrics = evaluate_retrieval(
         model, list(zip(questions, answers)), top_k=r.top_k, regex=r.regex,
-        batch_size=r.eval_batch_size)
+        batch_size=r.eval_batch_size, candidates=candidates)
 
     out_dir = opts.data.save_dir or "."
     os.makedirs(out_dir, exist_ok=True)

@@ -141,6 +141,22 @@ def main(argv=None):
             save_checkpoint(ckpt_dir, state, step=global_step)
         logger.info("saved to %s", m.output_dir)
 
+    # dev-set RC eval (ref: train_rc.py:307-407 evaluate + eval_logger)
+    if d.dev_file:
+        from densephrases_tpu.data.qa import load_rc_examples as _load
+        from densephrases_tpu.eval.rc import evaluate_rc
+
+        dev_examples = _load(d.dev_file, draft=opts.draft)
+        metrics = evaluate_rc(
+            state.params, config, tokenizer, dev_examples,
+            max_seq_length=m.max_seq_length, doc_stride=m.doc_stride,
+            max_query_length=m.max_query_length,
+            max_answer_length=m.max_answer_length)
+        out_dir = m.output_dir or "."
+        with open(os.path.join(out_dir, "eval_logger.txt"), "a") as f:
+            f.write(f"rc-dev\tEM={metrics['exact_match']:.2f}\t"
+                    f"F1={metrics['f1']:.2f}\tstep={global_step}\n")
+
     rates = filter_test(state.params, config, feats)
     logger.info("filter keep-rates: %s", rates)
     return state, rates

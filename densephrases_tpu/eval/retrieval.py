@@ -59,14 +59,30 @@ def evaluate_predictions(predictions: List[List[str]], answers: List[List[str]],
 
 def evaluate_retrieval(model, qa_pairs: List[Tuple[str, List[str]]],
                        top_k: int = 10, regex: bool = False,
-                       max_answer_length: int = 10, batch_size: int = 64):
+                       max_answer_length: int = 10, batch_size: int = 64,
+                       candidates: List[str] = None):
+    """candidates: optional answer-candidate vocabulary — predictions are
+    restricted to strings whose normalization appears in it (WebQ candidate
+    eval, ref: --candidate_path open_utils.py/eval flow)."""
+    from densephrases_tpu.eval.metrics import normalize_answer
+
+    cand_set = ({normalize_answer(c) for c in candidates}
+                if candidates else None)
     questions = [q for q, _ in qa_pairs]
     answers = [a for _, a in qa_pairs]
     predictions = []
     for b0 in range(0, len(questions), batch_size):
         chunk = questions[b0: b0 + batch_size]
-        preds = model.search(chunk, retrieval_unit="phrase", top_k=top_k,
+        # over-retrieve when filtering to candidates
+        k = top_k * 4 if cand_set else top_k
+        preds = model.search(chunk, retrieval_unit="phrase", top_k=k,
                              max_answer_length=max_answer_length)
+        if cand_set:
+            preds = [
+                ([p for p in ps if normalize_answer(p) in cand_set]
+                 or ps)[:top_k]
+                for ps in preds
+            ]
         predictions.extend(preds)
     metrics = evaluate_predictions(predictions, answers, regex=regex)
     metrics["predictions"] = predictions

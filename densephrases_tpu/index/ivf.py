@@ -74,12 +74,22 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
                                replace=False)
             new_cents.append(x[picks])
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
-        # one Lloyd refinement over the (enlarged) centroid set
-        assign = np.asarray(kmeans_assign(
-            jnp.asarray(x), jnp.asarray(centroids), chunk=2048))
-        sums = np.zeros_like(centroids)
-        np.add.at(sums, assign, x)
-        cnt = np.bincount(assign, minlength=centroids.shape[0]).astype(np.float32)
+        # one Lloyd refinement over the (enlarged) centroid set — device
+        # accumulation (one-hot matmul), not a host scatter-add
+        from densephrases_tpu.ops.kmeans import _assign_and_accumulate
+
+        n_pts = x.shape[0]
+        chunk = 2048
+        pad = (-n_pts) % chunk
+        x_dev = jnp.asarray(
+            np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)])
+            if pad else x, jnp.float32)
+        sums, cnt, _ = _assign_and_accumulate(
+            x_dev, jnp.asarray(centroids), chunk=chunk)
+        sums, cnt = np.array(sums), np.array(cnt)
+        if pad:
+            zi = int(np.argmin(np.sum(centroids ** 2, axis=1)))
+            cnt[zi] -= pad
         nz = cnt > 0
         centroids[nz] = sums[nz] / cnt[nz, None]
         assign = np.asarray(kmeans_assign(

@@ -147,9 +147,16 @@ class MIPS:
                               mesh=mesh, shard_axis=shard_axis)
         self.index = index
 
-        # Device-side global arrays for the rescore stage.
+        # Device-side global arrays for the rescore stage. When the flat
+        # index already holds the corpus on this device as a flat 2D buffer,
+        # share it (rescore clips row indices, so padding rows are harmless).
         n = store.n_vecs
-        self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
+        idx_codes = getattr(index, "codes", None)
+        if (isinstance(index, FlatIndex) and index.mesh is None
+                and idx_codes is not None and idx_codes.ndim == 2):
+            self.vecs_dev = idx_codes
+        else:
+            self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
         f2o = np.zeros(n, np.int32)
         doc_end_row = np.zeros(n, np.int64)
         doc_base_row = np.zeros(n, np.int64)
