@@ -35,7 +35,17 @@ def main(argv=None):
     if mode in ("q_serve", "serve_query"):
         model = load_model(opts)
         serve(make_query_encoder_app(model), opts.demo.query_port)
-    elif mode in ("p_serve", "single_serve", "serve"):
+    elif mode == "p_serve":
+        # two-process mode: this process holds the index; query encoding is
+        # RPC'd to a q_serve process (ref: run_demo.py:278-316)
+        from densephrases_tpu.serve.server import RemoteQueryEncoder
+
+        model = load_model(opts)
+        remote = RemoteQueryEncoder("127.0.0.1", opts.demo.query_port)
+        serve(make_index_app(model, default_top_k=opts.retrieval.top_k,
+                             remote_encoder=remote),
+              opts.demo.index_port)
+    elif mode in ("single_serve", "serve"):
         model = load_model(opts)
         serve(make_index_app(model, default_top_k=opts.retrieval.top_k),
               opts.demo.index_port)

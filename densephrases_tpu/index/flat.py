@@ -88,7 +88,8 @@ class FlatIndex:
 
     def __init__(self, codes, offset: float = DEFAULT_OFFSET,
                  scale: float = DEFAULT_SCALE, mesh: Optional[Mesh] = None,
-                 shard_axis: str = "shard", chunk: int = 4096):
+                 shard_axis: str = "shard", chunk: int = 4096,
+                 backend: str = "xla"):
         """codes: [N, D] int8 — np array OR an already-device-resident jnp
         array. When a device array whose row count is chunk-aligned is
         passed (single-device case), it is used in place, so the MIPS serve
@@ -99,6 +100,7 @@ class FlatIndex:
         self.scale = float(scale)
         self.mesh = mesh
         self.shard_axis = shard_axis
+        self.backend = backend  # 'xla' scan | 'pallas' fused kernel
         n_dev = mesh.shape[shard_axis] if mesh is not None else 1
         chunk = min(chunk, max(512, _round_up(self.n_total // max(n_dev, 1) or 1, 8)))
         self.chunk = chunk
@@ -128,6 +130,17 @@ class FlatIndex:
         n_total = self.n_total
 
         if self.mesh is None:
+            if self.backend == "pallas":
+                from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
+
+                def search_fn(queries, top_k: int):
+                    vals, ids = flat_scan_topk(
+                        queries, self.codes, jnp.int32(n_total), offset,
+                        scale, top_k=top_k, chunk=min(chunk, 32768),
+                        interpret=(jax.default_backend() != "tpu"))
+                    return vals, ids.astype(jnp.int64)
+                return search_fn
+
             def search_fn(queries, top_k: int):
                 vals, ids = _scan_topk(
                     queries, self.codes, jnp.int32(n_total), offset, scale,

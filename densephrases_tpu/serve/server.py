@@ -56,17 +56,45 @@ def make_query_encoder_app(model):
     return tornado.web.Application([(r"/query2vec_api", Query2Vec)])
 
 
+class RemoteQueryEncoder:
+    """query2vec over HTTP against a q_serve process — the reference's
+    two-process split where the index server RPCs the encoder server
+    (ref: run_demo.py:278-316 FuturesSession embed_query)."""
+
+    def __init__(self, host: str, port: int):
+        self.url = f"http://{host}:{port}/query2vec_api"
+
+    def query2vec(self, queries: List[str]) -> np.ndarray:
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.url, data=json.dumps({"query": queries}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req) as resp:
+            return np.asarray(json.loads(resp.read())["vec"], np.float32)
+
+
 def make_index_app(model, default_top_k: int = 10,
-                   examples: Optional[List[str]] = None):
+                   examples: Optional[List[str]] = None,
+                   remote_encoder: Optional[RemoteQueryEncoder] = None):
     """Index service: GET /api?query=...&strat=...; POST /batch_api
-    (ref: run_demo.py:70-149)."""
+    (ref: run_demo.py:70-149). With remote_encoder, query vectors come from
+    a separate q_serve process over HTTP (two-process mode)."""
     import tornado.web
 
-    strat_map = {"dense_first": "opt1", "sparse_first": "opt1", "hybrid": "opt1"}
-
     def do_search(queries, top_k, strat, unit):
-        answers, rets = model.search(
-            queries, retrieval_unit=unit, top_k=top_k, return_meta=True)
+        if remote_encoder is not None:
+            qvec = remote_encoder.query2vec(queries)
+            search_k = top_k if unit == "phrase" else top_k * 2
+            rets_all = model.mips.search(
+                qvec, q_texts=queries, top_k=search_k, aggregate=True,
+                agg_strat=model.UNIT_TO_STRAT.get(unit, "opt1"),
+                return_sent=(unit == "sentence"))
+            answers = [[r["answer"] for r in ret[:top_k]] for ret in rets_all]
+            rets = [ret[:top_k] for ret in rets_all]
+        else:
+            answers, rets = model.search(
+                queries, retrieval_unit=unit, top_k=top_k, return_meta=True)
         out = []
         for ans, ret in zip(answers, rets):
             out.append([{

@@ -1,0 +1,51 @@
+"""Pallas fused MIPS scan kernel vs reference scan (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
+from densephrases_tpu.ops.quant import float_to_int8, int8_to_float
+
+
+def test_pallas_scan_matches_brute_force():
+    rng = np.random.default_rng(0)
+    n, d, b, k = 1024, 128, 8, 7
+    codes = float_to_int8(rng.normal(-2, 1, (n, d)).astype(np.float32))
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    vals, ids = flat_scan_topk(
+        jnp.asarray(queries), jnp.asarray(codes), n, -2.0, 20.0,
+        top_k=k, chunk=256, interpret=True)
+    ref = queries @ int8_to_float(codes).T
+    ref_ids = np.argsort(-ref, axis=1)[:, :k]
+    ref_vals = np.take_along_axis(ref, ref_ids, axis=1)
+    np.testing.assert_allclose(np.asarray(vals), ref_vals, atol=0.2)
+    agree = (np.asarray(ids) == ref_ids).mean()
+    assert agree > 0.9, agree
+
+
+def test_pallas_scan_masks_padding():
+    rng = np.random.default_rng(1)
+    n_real, pad_to, d, b = 100, 512, 128, 2
+    codes = np.zeros((pad_to, d), np.int8)
+    codes[:n_real] = float_to_int8(
+        rng.normal(-2, 1, (n_real, d)).astype(np.float32))
+    # padding rows would otherwise score offset*sum(q) — must be masked
+    queries = rng.normal(size=(b, d)).astype(np.float32)
+    vals, ids = flat_scan_topk(
+        jnp.asarray(queries), jnp.asarray(codes), n_real, -2.0, 20.0,
+        top_k=5, chunk=128, interpret=True)
+    assert (np.asarray(ids) < n_real).all()
+
+
+def test_flat_index_pallas_backend_matches_xla():
+    from densephrases_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(2)
+    codes = float_to_int8(rng.normal(-2, 1, (2000, 128)).astype(np.float32))
+    queries = rng.normal(size=(4, 128)).astype(np.float32)
+    xla = FlatIndex(codes, chunk=512, backend="xla")
+    pls = FlatIndex(codes, chunk=512, backend="pallas")
+    v1, i1 = xla.search(queries, top_k=9)
+    v2, i2 = pls.search(queries, top_k=9)
+    assert (i1 == i2).mean() > 0.9
+    np.testing.assert_allclose(v1, v2, atol=0.1)
