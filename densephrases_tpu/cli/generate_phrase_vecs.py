@@ -61,7 +61,8 @@ def main(argv=None):
         params, config, tokenizer, docs, store_path,
         max_seq_length=m.max_seq_length,
         filter_threshold=ix.index_filter,
-        offset=ix.dense_offset, scale=ix.dense_scale)
+        offset=ix.dense_offset, scale=ix.dense_scale,
+        first_passage=ix.first_passage)
     logger.info("store: %d docs, %d vectors", store.num_docs, store.n_vecs)
     return store
 

@@ -70,8 +70,12 @@ def dump_phrases(
     scale: float = 20.0,
     attn_impl: str = "auto",
     append_title: bool = True,
+    first_passage: bool = False,
 ) -> PhraseStore:
     """docs: iterable of {'doc_id': int, 'title': str, 'paragraphs': [str]}.
+
+    first_passage: index only each document's first paragraph
+    (ref: build_phrase_index.py:204-210 first_passage mode).
 
     Windows from consecutive docs are batched together for MXU efficiency;
     per-doc vectors are reassembled on the host, filtered, quantized and
@@ -89,8 +93,9 @@ def dump_phrases(
         did = int(doc["doc_id"])
         if writer.has_doc(did):
             continue
+        paragraphs = doc["paragraphs"][:1] if first_passage else doc["paragraphs"]
         feats, doc_ctx = convert_context_to_features(
-            did, doc.get("title", ""), doc["paragraphs"], tokenizer,
+            did, doc.get("title", ""), paragraphs, tokenizer,
             max_seq_length=max_seq_length, append_title=append_title)
         all_feats.extend(feats)
         doc_ctxs[did] = doc_ctx

@@ -147,6 +147,10 @@ class MIPS:
                               mesh=mesh, shard_axis=shard_axis)
         self.index = index
 
+        # Parallel-decompress all doc metadata up front (native batch codec)
+        # — the serve-time metadata-on-RAM mode (ref: index.py:69-76).
+        store.preload_metas()
+
         # Device-side global arrays for the rescore stage. When the flat
         # index already holds the corpus on this device as a flat 2D buffer,
         # share it (rescore clips row indices, so padding rows are harmless).
