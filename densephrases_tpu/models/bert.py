@@ -132,6 +132,10 @@ def bert_forward(
 
     b, l = input_ids.shape
     cfg = config
+    assert l <= cfg.max_position_embeddings, (
+        f"sequence length {l} exceeds max_position_embeddings "
+        f"{cfg.max_position_embeddings} (out-of-range position lookups "
+        f"would silently produce NaN)")
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
 
