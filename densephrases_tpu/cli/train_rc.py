@@ -111,6 +111,9 @@ def main(argv=None):
         skip_steps = int(np.asarray(state.step))
         logger.info("resumed at step %d", skip_steps)
 
+    from densephrases_tpu.utils.metrics_log import MetricsLogger
+
+    mlog = MetricsLogger(m.output_dir or None, use_wandb=t.wandb)
     step_fn = make_train_step(config, loss_cfg, optimizer, mesh=mesh)
     rng = jax.random.PRNGKey(t.seed)
     global_step = skip_steps
@@ -128,6 +131,8 @@ def main(argv=None):
             if global_step % max(t.logging_steps, 1) == 0 or opts.verbose:
                 logger.info("step %d: loss=%.4f", global_step,
                             float(metrics["loss"]))
+                mlog.log(global_step,
+                         **{k: float(v) for k, v in metrics.items()})
             if ckpt_dir and global_step % t.save_steps == 0:
                 save_checkpoint(ckpt_dir, state, step=global_step)
             if global_step >= total_steps:

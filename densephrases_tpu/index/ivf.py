@@ -110,6 +110,8 @@ class IVFConfig:
     pq_iters: int = 6
     opq_iters: int = 4
     sample_ratio: float = 1.0  # train on a subsample (ref doc/vec_sample_ratio)
+    norm_th: float = 999.0  # drop large-norm vectors from the training
+    # sample (ref: build_phrase_index.py:60-93 norm filter)
     seed: int = 0
     # PQ candidates are re-ranked with exact int8 scores: scan k*refine_factor
     # with PQ, rescore those rows against the store's int8 codes (which the
@@ -170,6 +172,11 @@ class IVFIndex:
             sample = x[rng.choice(n, size=min(take, n), replace=False)]
         else:
             sample = x
+        if cfg.norm_th < 999.0:
+            norms = np.linalg.norm(sample, axis=1)
+            kept = sample[norms < cfg.norm_th]
+            if len(kept) >= cfg.num_clusters:
+                sample = kept
 
         centroids, _ = kmeans(sample, cfg.num_clusters, iters=cfg.kmeans_iters,
                               seed=cfg.seed, verbose=verbose,

@@ -154,3 +154,48 @@ def test_query_loss(cfg):
         sv, ev, targets, p_targets, deterministic=True, attn_impl="xla")
     assert np.isfinite(float(loss)) and float(loss) > 0
     assert top1.shape == (b,)
+
+
+def test_rc_loss_with_hard_negatives(cfg):
+    """Hard-negative passages add columns to the in-batch CE
+    (ref: encoder.py:212-218,251-253)."""
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    batch = _make_batch(cfg)
+    b, l = 4, 24
+    rng = np.random.default_rng(7)
+    batch["neg_input_ids"] = jnp.asarray(
+        rng.integers(5, cfg.vocab_size, (b, l)), jnp.int32)
+    batch["neg_attention_mask"] = jnp.ones((b, l), jnp.int32)
+    loss_cfg = RCLossConfig(lambda_neg=1.0)
+    total, aux = rc_loss(params, cfg, batch, loss_cfg, deterministic=True,
+                         attn_impl="xla")
+    assert np.isfinite(float(total))
+    assert np.isfinite(float(aux["neg_loss"]))
+    # negatives must increase (or equal) the neg CE vs no-negatives
+    del batch["neg_input_ids"], batch["neg_attention_mask"]
+    total2, aux2 = rc_loss(params, cfg, batch, loss_cfg, deterministic=True,
+                           attn_impl="xla")
+    assert float(aux["neg_loss"]) >= float(aux2["neg_loss"]) - 1e-4
+
+
+def test_rc_loss_with_kl_distillation(cfg):
+    """KL teacher loss path (ref: encoder.py:280-321) via precomputed
+    cross inputs + teacher_gather map."""
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg,
+                                 with_teacher=True)
+    batch = _make_batch(cfg)
+    b, l, lq = 4, 24, 8
+    lc = l + lq
+    rng = np.random.default_rng(8)
+    batch["cross_input_ids"] = jnp.asarray(
+        rng.integers(5, cfg.vocab_size, (b, lc)), jnp.int32)
+    batch["cross_attention_mask"] = jnp.ones((b, lc), jnp.int32)
+    batch["cross_token_type_ids"] = jnp.zeros((b, lc), jnp.int32)
+    gather = np.full((b, l), -1, np.int32)
+    gather[:, 1:] = np.arange(lq, lq + l - 1)[None, :]
+    batch["teacher_gather"] = jnp.asarray(gather)
+    loss_cfg = RCLossConfig(lambda_kl=2.0)
+    total, aux = rc_loss(params, cfg, batch, loss_cfg, deterministic=True,
+                         attn_impl="xla")
+    assert np.isfinite(float(total))
+    assert "kl_loss" in aux and float(aux["kl_loss"]) >= 0
