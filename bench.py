@@ -38,14 +38,17 @@ def main():
         w2ce = w2cs + 4
         f2o = np.arange(vecs_per_doc, dtype=np.int32)
         ctx = " ".join(["word"] * (vecs_per_doc + 2))
-        for doc in range(n_docs):
-            vecs = rng.normal(-2, 1, (vecs_per_doc, d)).astype(np.float32)
-            writer.add_doc(
-                DocMeta(doc_id=doc, title=f"doc{doc}", context=ctx,
-                        word2char_start=w2cs, word2char_end=w2ce,
-                        f2o_start=f2o),
-                float_to_int8(vecs),
-            )
+        block = 200  # docs per generated block (rng dominates otherwise)
+        for b0 in range(0, n_docs, block):
+            blk = float_to_int8(rng.normal(
+                -2, 1, (block * vecs_per_doc, d)).astype(np.float32))
+            for j in range(block):
+                writer.add_doc(
+                    DocMeta(doc_id=b0 + j, title=f"doc{b0 + j}", context=ctx,
+                            word2char_start=w2cs, word2char_end=w2ce,
+                            f2o_start=f2o),
+                    blk[j * vecs_per_doc:(j + 1) * vecs_per_doc],
+                )
         store = writer.finalize()
         mips = MIPS(store)
 

@@ -1,3 +1,5 @@
 from densephrases_tpu.index.store import PhraseStore, DocMeta, StoreWriter
 from densephrases_tpu.index.flat import FlatIndex
+from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+from densephrases_tpu.index.sharded import ShardedIVF
 from densephrases_tpu.index.search import MIPS

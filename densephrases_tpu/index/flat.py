@@ -134,9 +134,11 @@ class FlatIndex:
                 from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
 
                 def search_fn(queries, top_k: int):
+                    # chunk bounded by VMEM: 2 pipeline buffers of
+                    # [chunk, D] int8 + bf16 copies must fit in ~16MB
                     vals, ids = flat_scan_topk(
                         queries, self.codes, jnp.int32(n_total), offset,
-                        scale, top_k=top_k, chunk=min(chunk, 32768),
+                        scale, top_k=top_k, chunk=min(chunk, 4096),
                         interpret=(jax.default_backend() != "tpu"))
                     return vals, ids.astype(jnp.int64)
                 return search_fn

@@ -36,7 +36,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from densephrases_tpu.ops.kmeans import kmeans, kmeans_assign
+from densephrases_tpu.ops.kmeans import (
+    accumulate_blocks,
+    assign_blocks,
+    kmeans,
+)
 from densephrases_tpu.ops.opq import OPQ, train_opq
 from densephrases_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, train_pq
 from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
@@ -74,26 +78,12 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
                                replace=False)
             new_cents.append(x[picks])
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
-        # one Lloyd refinement over the (enlarged) centroid set — device
-        # accumulation (one-hot matmul), not a host scatter-add
-        from densephrases_tpu.ops.kmeans import _assign_and_accumulate
-
-        n_pts = x.shape[0]
-        chunk = 2048
-        pad = (-n_pts) % chunk
-        x_dev = jnp.asarray(
-            np.concatenate([x, np.zeros((pad, x.shape[1]), x.dtype)])
-            if pad else x, jnp.float32)
-        sums, cnt, _ = _assign_and_accumulate(
-            x_dev, jnp.asarray(centroids), chunk=chunk)
-        sums, cnt = np.array(sums), np.array(cnt)
-        if pad:
-            zi = int(np.argmin(np.sum(centroids ** 2, axis=1)))
-            cnt[zi] -= pad
+        # one Lloyd refinement over the (enlarged) centroid set — streamed
+        # device accumulation (host blocks; no O(corpus) device residency)
+        sums, cnt, _ = accumulate_blocks(x, centroids, chunk=2048)
         nz = cnt > 0
         centroids[nz] = sums[nz] / cnt[nz, None]
-        assign = np.asarray(kmeans_assign(
-            jnp.asarray(x), jnp.asarray(centroids), chunk=2048))
+        assign = assign_blocks(x, centroids, chunk=2048)
         if verbose:
             logging.getLogger(__name__).info(
                 "balance round: k %d→%d, max list %d",
@@ -186,8 +176,7 @@ class IVFIndex:
         # so lists stay balanced; the reference's IndexFlatIP add-time
         # assignment is skew-prone when centroids are correlated). Probing
         # remains max-inner-product over centroids (ref: index.py:53,62).
-        assign = np.asarray(kmeans_assign(
-            jnp.asarray(x), jnp.asarray(centroids), chunk=2048))
+        assign = assign_blocks(x, centroids, chunk=2048)
 
         # --- balance: split oversized lists by seeding extra centroids from
         # their members and re-running Lloyd. Bounded list length is what

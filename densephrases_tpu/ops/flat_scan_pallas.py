@@ -40,24 +40,35 @@ def _scan_kernel(q_ref, qsum_ref, nvalid_ref, codes_ref, vals_ref, ids_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + base
     s = jnp.where(col < nvalid_ref[0], s, NEG_INF)
 
-    # iterative K-selection in VMEM: K passes of (max, argmax, mask)
+    # iterative K-selection in VMEM: K passes of (max, argmax, mask),
+    # accumulating into registers with where-selects (Mosaic rejects
+    # dynamic-column stores into the output ref)
+    b = s.shape[0]
+    k = vals_ref.shape[1]
+    col_k = jax.lax.broadcasted_iota(jnp.int32, (b, k), 1)
+
     def body(j, carry):
-        s_cur = carry
+        s_cur, vals_acc, ids_acc = carry
         m = jnp.max(s_cur, axis=1)  # [B]
         am = jnp.argmax(s_cur, axis=1).astype(jnp.int32)  # [B]
-        vals_ref[:, j] = m
-        ids_ref[:, j] = am + base
+        sel = col_k == j
+        vals_acc = jnp.where(sel, m[:, None], vals_acc)
+        ids_acc = jnp.where(sel, (am + base)[:, None], ids_acc)
         hit = jax.lax.broadcasted_iota(jnp.int32, s_cur.shape, 1) == am[:, None]
-        return jnp.where(hit, NEG_INF, s_cur)
+        return jnp.where(hit, NEG_INF, s_cur), vals_acc, ids_acc
 
-    jax.lax.fori_loop(0, k, body, s)
+    init = (s, jnp.full((b, k), NEG_INF, jnp.float32),
+            jnp.zeros((b, k), jnp.int32))
+    _, vals_acc, ids_acc = jax.lax.fori_loop(0, k, body, init)
+    vals_ref[...] = vals_acc
+    ids_ref[...] = ids_acc
 
 
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "chunk", "interpret",
                                     "offset", "scale"))
 def flat_scan_topk(queries, codes, n_valid, offset: float, scale: float,
-                   *, top_k: int, chunk: int = 32768,
+                   *, top_k: int, chunk: int = 4096,
                    interpret: bool = False):
     """queries [B, D] f32; codes [R, D] int8, R % chunk == 0.
     Returns (vals [B, K], ids [B, K] int32) — exact merge over per-chunk

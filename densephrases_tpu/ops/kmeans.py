@@ -78,11 +78,56 @@ def kmeans_assign(x, centroids, *, chunk: int = 4096):
     return assigns.reshape(-1)[:n]
 
 
+# host-block streaming: the corpus never lives on device in full — each
+# block is uploaded, reduced, and dropped (device holds O(block) + [k, D])
+_BLOCK = 262_144
+
+
+def accumulate_blocks(x: np.ndarray, centroids: np.ndarray,
+                      chunk: int = 4096, block: int = _BLOCK):
+    """Streamed Lloyd accumulation over host-resident data.
+    Returns (sums [k, D], counts [k], cost) as numpy."""
+    n, d = x.shape
+    k = centroids.shape[0]
+    c_dev = jnp.asarray(centroids)
+    sums = np.zeros((k, d), np.float32)
+    counts = np.zeros((k,), np.float32)
+    cost = 0.0
+    for b0 in range(0, n, block):
+        xb = np.asarray(x[b0:b0 + block], np.float32)
+        pad = (-len(xb)) % chunk
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad, d), np.float32)])
+        s, c, co = _assign_and_accumulate(jnp.asarray(xb), c_dev, chunk=chunk)
+        s, c = np.array(s), np.array(c)
+        if pad:
+            zi = int(np.argmin(np.sum(centroids ** 2, axis=1)))
+            c[zi] -= pad
+        sums += s
+        counts += c
+        cost += float(co)
+    return sums, counts, cost
+
+
+def assign_blocks(x: np.ndarray, centroids: np.ndarray,
+                  chunk: int = 4096, block: int = _BLOCK) -> np.ndarray:
+    """Streamed nearest-centroid assignment. Returns int32 [N] (numpy)."""
+    n = x.shape[0]
+    c_dev = jnp.asarray(centroids)
+    out = np.empty(n, np.int32)
+    for b0 in range(0, n, block):
+        xb = jnp.asarray(np.asarray(x[b0:b0 + block], np.float32))
+        out[b0:b0 + block] = np.asarray(
+            kmeans_assign(xb, c_dev, chunk=min(chunk, max(len(xb), 8))))
+    return out
+
+
 def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
            chunk: int = 4096, verbose: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Train k centroids. Returns (centroids [k, D] f32, assignments [N] i32).
 
-    Host-side driver: per-iteration device work is jitted; empty-cluster
+    Host-side driver: per-iteration device work is jitted and streamed in
+    host blocks (device memory O(block), not O(corpus)); empty-cluster
     re-seeding happens between iterations on the host (rare path).
     """
     n, d = x.shape
@@ -90,23 +135,8 @@ def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
     rng = np.random.default_rng(seed)
     centroids = np.asarray(x[rng.choice(n, size=k, replace=False)], np.float32)
 
-    pad = (-n) % chunk
-    x_pad = np.concatenate([x, np.zeros((pad, d), x.dtype)]) if pad else x
-    x_dev = jnp.asarray(x_pad, jnp.float32)
-    # padding rows: keep but subtract their contribution (they all land in one
-    # cluster near 0); simpler: weight them out by assigning to a sentinel.
-    # We handle padding by re-running the final accumulate on exact data below.
-
     for it in range(iters):
-        sums, counts, cost = _assign_and_accumulate(
-            x_dev, jnp.asarray(centroids), chunk=chunk)
-        sums = np.array(sums)
-        counts = np.array(counts)
-        if pad:
-            # remove the padded zero-rows' contribution
-            zero_assign = int(np.argmin(np.sum(centroids ** 2, axis=1)
-                                        - 2 * (np.zeros(d) @ centroids.T)))
-            counts[zero_assign] -= pad
+        sums, counts, cost = accumulate_blocks(x, centroids, chunk=chunk)
         nonempty = counts > 0
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
         n_empty = int((~nonempty).sum())
@@ -115,6 +145,5 @@ def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
         if verbose:
             print(f"kmeans iter {it}: cost={float(cost):.1f} empty={n_empty}")
 
-    assigns = np.asarray(kmeans_assign(jnp.asarray(x, jnp.float32),
-                                       jnp.asarray(centroids), chunk=chunk))
+    assigns = assign_blocks(x, centroids, chunk=chunk)
     return centroids, assigns
