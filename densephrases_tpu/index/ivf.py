@@ -108,8 +108,12 @@ class IVFConfig:
     # phrase store keeps for stage-2 span search anyway), keep top-k.
     refine_factor: int = 4
     # hard ceiling on per-list scan length: lists longer than this are
-    # truncated at search time (skew guard; logged at build)
-    max_list_scan: int = 16384
+    # truncated at search time (skew guard; logged at build). Also bounds
+    # the per-probe program size — large caps explode the compile.
+    max_list_scan: int = 8192
+    # batched queries route to the union-scan formulation (bandwidth and
+    # compile-size independent of cap; see search_union)
+    prefer_union_batch: int = 4
     # lists longer than balance_factor * mean are split at build time
     balance_factor: float = 4.0
 
@@ -353,8 +357,16 @@ class IVFIndex:
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
                as_numpy: bool = True):
         """queries [B, D] f32 → (scores [B, K], global ids [B, K]).
-        as_numpy=False keeps results on device."""
+        as_numpy=False keeps results on device.
+
+        Batches of ≥ prefer_union_batch queries route to the union-scan
+        formulation (one shared candidate gather for the whole batch)."""
         queries = jnp.asarray(queries, jnp.float32)
+        if queries.shape[0] >= getattr(self.cfg, "prefer_union_batch", 4):
+            vals, ids = self.search_union(queries, top_k=top_k, nprobe=nprobe)
+            if as_numpy:
+                return vals, ids
+            return jnp.asarray(vals), jnp.asarray(ids)
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         k = min(top_k, self.n_total)
         key = (k, nprobe)

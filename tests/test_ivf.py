@@ -147,8 +147,9 @@ def test_union_search_matches_per_probe(fine_quant):
     queries = _clustered_data(8, 64, seed=11)
     ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64, fine_quant=fine_quant,
                                           kmeans_iters=5, pq_iters=3,
-                                          opq_iters=2))
-    v1, i1 = ivf.search(queries, top_k=10, nprobe=16)
+                                          opq_iters=2,
+                                          prefer_union_batch=999))
+    v1, i1 = ivf.search(queries, top_k=10, nprobe=16)  # per-probe path
     v2, i2 = ivf.search_union(queries, top_k=10, nprobe=16)
     overlap = np.mean([
         len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(i1, i2)
