@@ -120,3 +120,20 @@ def test_fid_format_with_markers(tmp_path):
                          out_path=str(tmp_path / "fid.json"))
     assert rows[0]["ctxs"][0]["text"] == "<e>Paris</e> is nice"
     assert (tmp_path / "fid.json").exists()
+
+
+def test_candidate_restricted_eval():
+    from densephrases_tpu.eval.retrieval import evaluate_retrieval
+
+    class FakeModel:
+        def search(self, qs, retrieval_unit, top_k, max_answer_length=10):
+            return [["noise", "Paris", "junk"][:top_k] for _ in qs]
+
+    pairs = [("capital of france", ["Paris"])]
+    # without candidates, top-1 is 'noise' → EM@1 = 0
+    m = evaluate_retrieval(FakeModel(), pairs, top_k=3)
+    assert m["em_top1"] == 0.0
+    # candidates restrict predictions to the vocabulary → 'Paris' promotes
+    m2 = evaluate_retrieval(FakeModel(), pairs, top_k=3,
+                            candidates=["Paris", "London"])
+    assert m2["em_top1"] == 100.0
