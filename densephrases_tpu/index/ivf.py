@@ -55,11 +55,21 @@ def _round_up(x: int, m: int) -> int:
 
 def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
                    balance_factor: float = 4.0, rounds: int = 3,
-                   seed: int = 0, verbose: bool = False):
+                   seed: int = 0, verbose: bool = False,
+                   offset: float = 0.0, scale: float = 1.0):
     """Split oversized inverted lists: seed extra centroids from members of
     lists longer than balance_factor×mean, then one Lloyd refinement +
-    reassignment per round. Grows the centroid count as needed."""
+    reassignment per round. Grows the centroid count as needed.
+
+    x may be int8 codes (shipped raw to the device with on-the-fly affine
+    equivalence; see ops/kmeans.accumulate_blocks)."""
     import logging
+
+    quant = x.dtype == np.int8
+
+    def deq(rows):
+        return rows.astype(np.float32) / scale + offset if quant \
+            else rows.astype(np.float32)
 
     rng = np.random.default_rng(seed + 7)
     for _ in range(rounds):
@@ -76,14 +86,16 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
             n_extra = int(np.ceil(counts[li] / cap)) - 1
             picks = rng.choice(members, size=min(n_extra, len(members)),
                                replace=False)
-            new_cents.append(x[picks])
+            new_cents.append(deq(x[picks]))
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
         # one Lloyd refinement over the (enlarged) centroid set — streamed
         # device accumulation (host blocks; no O(corpus) device residency)
-        sums, cnt, _ = accumulate_blocks(x, centroids, chunk=2048)
+        sums, cnt, _ = accumulate_blocks(x, centroids, chunk=2048,
+                                         offset=offset, scale=scale)
         nz = cnt > 0
         centroids[nz] = sums[nz] / cnt[nz, None]
-        assign = assign_blocks(x, centroids, chunk=2048)
+        assign = assign_blocks(x, centroids, chunk=2048, offset=offset,
+                               scale=scale)
         if verbose:
             logging.getLogger(__name__).info(
                 "balance round: k %d→%d, max list %d",
@@ -157,15 +169,20 @@ class IVFIndex:
               verbose: bool = False) -> "IVFIndex":
         """codes_int8: the store's int8 vectors [N, D] (quantized floats)."""
         n, d = codes_int8.shape
-        x = codes_int8.astype(np.float32) / scale + offset
         rng = np.random.default_rng(cfg.seed)
+        # the full dequantized matrix is only materialized for PQ/OPQ
+        # encoding; SQ8 builds never hold an O(corpus) float copy
+        need_float_full = cfg.fine_quant.startswith(("OPQ", "PQ"))
+        x = (codes_int8.astype(np.float32) / scale + offset
+             if need_float_full else None)
 
         # --- sample for training (ref: build_phrase_index.py:60-93)
         if cfg.sample_ratio < 1.0:
             take = max(int(n * cfg.sample_ratio), min(n, cfg.num_clusters * 4))
-            sample = x[rng.choice(n, size=min(take, n), replace=False)]
+            sel = rng.choice(n, size=min(take, n), replace=False)
         else:
-            sample = x
+            sel = np.arange(n)
+        sample = codes_int8[sel].astype(np.float32) / scale + offset
         if cfg.norm_th < 999.0:
             norms = np.linalg.norm(sample, axis=1)
             kept = sample[norms < cfg.norm_th]
@@ -180,7 +197,10 @@ class IVFIndex:
         # so lists stay balanced; the reference's IndexFlatIP add-time
         # assignment is skew-prone when centroids are correlated). Probing
         # remains max-inner-product over centroids (ref: index.py:53,62).
-        assign = assign_blocks(x, centroids, chunk=2048)
+        # full-corpus passes ship the RAW int8 codes (4x less upload than
+        # f32; L2 assignment is affine-equivariant, see ops/kmeans)
+        assign = assign_blocks(codes_int8, centroids, chunk=2048,
+                               offset=offset, scale=scale)
 
         # --- balance: split oversized lists by seeding extra centroids from
         # their members and re-running Lloyd. Bounded list length is what
@@ -188,8 +208,9 @@ class IVFIndex:
         # needed there: CPU scans tolerate ragged lists, our MXU scan wants
         # uniform tiles).
         centroids, assign = _balance_lists(
-            x, centroids, assign, balance_factor=cfg.balance_factor,
-            rounds=3, seed=cfg.seed, verbose=verbose)
+            codes_int8, centroids, assign, balance_factor=cfg.balance_factor,
+            rounds=3, seed=cfg.seed, verbose=verbose, offset=offset,
+            scale=scale)
 
         # --- fine quantization
         rotation = None

@@ -79,44 +79,60 @@ def kmeans_assign(x, centroids, *, chunk: int = 4096):
 
 
 # host-block streaming: the corpus never lives on device in full — each
-# block is uploaded, reduced, and dropped (device holds O(block) + [k, D])
+# block is uploaded, reduced, and dropped (device holds O(block) + [k, D]).
+# int8 inputs are shipped as int8 (4× less transfer): assignment against
+# L2 is affine-equivariant, so raw codes are assigned against transformed
+# centroids c' = (c - offset)·scale, and Lloyd sums are fixed up on host:
+# sum_deq = sum_raw/scale + offset·count.
 _BLOCK = 262_144
 
 
 def accumulate_blocks(x: np.ndarray, centroids: np.ndarray,
-                      chunk: int = 4096, block: int = _BLOCK):
-    """Streamed Lloyd accumulation over host-resident data.
-    Returns (sums [k, D], counts [k], cost) as numpy."""
+                      chunk: int = 4096, block: int = _BLOCK,
+                      offset: float = 0.0, scale: float = 1.0):
+    """Streamed Lloyd accumulation over host-resident data (f32 or int8 with
+    (offset, scale) dequant contract). Returns (sums [k, D], counts [k],
+    cost) as numpy, in DEQUANTIZED space."""
     n, d = x.shape
     k = centroids.shape[0]
-    c_dev = jnp.asarray(centroids)
+    quant = x.dtype == np.int8
+    c_eff = ((centroids - offset) * scale).astype(np.float32) if quant \
+        else centroids
+    c_dev = jnp.asarray(c_eff)
     sums = np.zeros((k, d), np.float32)
     counts = np.zeros((k,), np.float32)
     cost = 0.0
     for b0 in range(0, n, block):
-        xb = np.asarray(x[b0:b0 + block], np.float32)
+        xb = np.ascontiguousarray(x[b0:b0 + block])
         pad = (-len(xb)) % chunk
         if pad:
-            xb = np.concatenate([xb, np.zeros((pad, d), np.float32)])
+            xb = np.concatenate([xb, np.zeros((pad, d), xb.dtype)])
         s, c, co = _assign_and_accumulate(jnp.asarray(xb), c_dev, chunk=chunk)
         s, c = np.array(s), np.array(c)
         if pad:
-            zi = int(np.argmin(np.sum(centroids ** 2, axis=1)))
+            zi = int(np.argmin(np.sum(c_eff ** 2, axis=1)))
             c[zi] -= pad
         sums += s
         counts += c
         cost += float(co)
+    if quant:
+        sums = sums / scale + offset * counts[:, None]
     return sums, counts, cost
 
 
 def assign_blocks(x: np.ndarray, centroids: np.ndarray,
-                  chunk: int = 4096, block: int = _BLOCK) -> np.ndarray:
-    """Streamed nearest-centroid assignment. Returns int32 [N] (numpy)."""
+                  chunk: int = 4096, block: int = _BLOCK,
+                  offset: float = 0.0, scale: float = 1.0) -> np.ndarray:
+    """Streamed nearest-centroid assignment (f32, or int8 shipped raw).
+    Returns int32 [N] (numpy)."""
     n = x.shape[0]
-    c_dev = jnp.asarray(centroids)
+    quant = x.dtype == np.int8
+    c_eff = ((centroids - offset) * scale).astype(np.float32) if quant \
+        else centroids
+    c_dev = jnp.asarray(c_eff)
     out = np.empty(n, np.int32)
     for b0 in range(0, n, block):
-        xb = jnp.asarray(np.asarray(x[b0:b0 + block], np.float32))
+        xb = jnp.asarray(np.ascontiguousarray(x[b0:b0 + block]))
         out[b0:b0 + block] = np.asarray(
             kmeans_assign(xb, c_dev, chunk=min(chunk, max(len(xb), 8))))
     return out
