@@ -53,6 +53,158 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# NOTE: every large array is an explicit jit ARGUMENT in the searchers
+# below. Closing over a multi-GB device array embeds it as an HLO constant,
+# which (besides being wasteful) makes the serialized program gigantic —
+# large enough to break remote-compile transports.
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "nprobe", "cap", "scan_k"))
+def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
+                 pq_books, refine_codes, offset, scale, *, top_k: int,
+                 nprobe: int, cap: int, scan_k: int):
+    """Per-probe IVF scan (single-query / tiny-batch path)."""
+    b, d = q_raw.shape
+    is_pq = pq_books is not None
+    do_refine = is_pq and refine_codes is not None
+
+    # ---- probe (ref: nprobe=256 IVF probe, index.py:53,62)
+    c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
+                          centroids.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, nprobe]
+
+    if is_pq:
+        lut_bf = pq_lut(pq_books, q_rot).astype(jnp.bfloat16)  # [B, M, 256]
+    else:
+        qsum = q_rot.sum(-1) * offset
+        q_bf = q_rot.astype(jnp.bfloat16)
+
+    col = jnp.arange(cap, dtype=jnp.int32)[None, :]
+
+    def probe_step(carry, p_idx):
+        best_s, best_i = carry
+        lists = probe_ids[:, p_idx]  # [B]
+        offs = list_offsets[lists]  # [B]
+        lens = list_offsets[lists + 1] - offs
+
+        cand = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(
+                codes, (o, 0), (cap, codes.shape[1]))
+        )(offs)  # [B, cap, M or D]
+
+        if is_pq:
+            # per-subspace one-hot matmul (no gathers; ops/pq.py)
+            ksub = 256
+            m = cand.shape[-1]
+            iota = jax.lax.broadcasted_iota(jnp.int32, (b, cap, m, ksub), 3)
+            oh = (cand[..., None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
+            s = jnp.einsum("bmk,bcmk->bc", lut_bf, oh,
+                           preferred_element_type=jnp.float32)
+        else:
+            s = jnp.einsum("bd,bcd->bc", q_bf, cand.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+            s = s / scale + qsum[:, None]
+
+        valid = col < lens[:, None]
+        s = jnp.where(valid, s, NEG_INF)
+        rows = offs[:, None] + col  # sorted-row ids
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate([best_i, rows], axis=1)
+        vals, pos = jax.lax.top_k(cat_s, scan_k)
+        ids = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (vals, ids), None
+
+    init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
+            jnp.zeros((b, scan_k), jnp.int32))
+    (vals, rows), _ = jax.lax.scan(init=init, xs=jnp.arange(nprobe),
+                                   f=probe_step)
+    gids = row_perm[jnp.clip(rows, 0, row_perm.shape[0] - 1)]
+
+    if do_refine:
+        # exact int8 re-ranking of the PQ candidates (one gather + one
+        # batched matvec; the int8 matrix is the store's own)
+        cand = refine_codes[jnp.clip(gids, 0, refine_codes.shape[0] - 1)]
+        qsum_r = q_raw.sum(-1) * offset
+        s = jnp.einsum("bd,bcd->bc", q_raw.astype(jnp.bfloat16),
+                       cand.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s / scale + qsum_r[:, None]
+        s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
+        vals, pos = jax.lax.top_k(s, top_k)
+        gids = jnp.take_along_axis(gids, pos, axis=1)
+    return vals, gids
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "refine_factor"))
+def _union_score(q_rot, q_raw, rows, row_list, member, codes, row_perm,
+                 pq_books, refine_codes, offset, scale, *, top_k: int,
+                 refine_factor: int):
+    b = q_rot.shape[0]
+    u = rows.shape[0]
+    chunk = min(u, 16384)
+    n_chunks = u // chunk
+    is_pq = pq_books is not None
+    do_refine = is_pq and refine_codes is not None
+    scan_k = top_k * refine_factor if do_refine else top_k
+    if is_pq:
+        lut = pq_lut(pq_books, q_rot).astype(jnp.bfloat16)  # [B, M, K]
+        m = lut.shape[1]
+        flat_lut = lut.reshape(b, m * 256)
+    else:
+        qsum = q_rot.sum(-1) * offset
+        q_bf = q_rot.astype(jnp.bfloat16)
+
+    def body(carry, i):
+        best_s, best_i = carry
+        sl = jax.lax.dynamic_slice(rows, (i * chunk,), (chunk,))
+        rl = jax.lax.dynamic_slice(row_list, (i * chunk,), (chunk,))
+        cand = codes[jnp.clip(sl, 0, codes.shape[0] - 1)]
+        if is_pq:
+            ksub = 256
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (chunk, cand.shape[1], ksub), 2)
+            oh = (cand[..., None].astype(jnp.int32) == iota
+                  ).reshape(chunk, -1).astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [B, chunk]
+        else:
+            s = jax.lax.dot_general(
+                q_bf, cand.astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            s = s / scale + qsum[:, None]
+        ok = (rl >= 0)[None, :] & (
+            jnp.take_along_axis(
+                member, jnp.broadcast_to(
+                    jnp.clip(rl, 0)[None, :], (b, chunk)), axis=1) > 0)
+        s = jnp.where(ok, s, NEG_INF)
+        cat_s = jnp.concatenate([best_s, s], axis=1)
+        cat_i = jnp.concatenate(
+            [best_i, jnp.broadcast_to(sl[None, :], (b, chunk))], axis=1)
+        vals, pos = jax.lax.top_k(cat_s, scan_k)
+        ids = jnp.take_along_axis(cat_i, pos, axis=1)
+        return (vals, ids), None
+
+    init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
+            jnp.zeros((b, scan_k), rows.dtype))
+    (vals, sorted_rows), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+    gids = row_perm[jnp.clip(sorted_rows, 0, row_perm.shape[0] - 1)]
+    if do_refine:
+        # exact int8 re-ranking in the UNROTATED space (refine_codes are the
+        # store's raw int8 vectors)
+        cand = refine_codes[jnp.clip(gids, 0, refine_codes.shape[0] - 1)]
+        qsum_r = q_raw.sum(-1) * offset
+        s = jnp.einsum("bd,bcd->bc", q_raw.astype(jnp.bfloat16),
+                       cand.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s / scale + qsum_r[:, None]
+        s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
+        vals, pos = jax.lax.top_k(s, top_k)
+        gids = jnp.take_along_axis(gids, pos, axis=1)
+    return vals, gids
+
+
 def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
                    balance_factor: float = 4.0, rounds: int = 3,
                    seed: int = 0, verbose: bool = False,
@@ -300,79 +452,13 @@ class IVFIndex:
         for bi in range(b):
             member[bi, probe_np[bi]] = 1
 
-        vals, ids = self._union_score(
+        vals, ids = _union_score(
             q_rot, queries, jnp.asarray(rows_p), jnp.asarray(row_list_p),
-            jnp.asarray(member), top_k)
+            jnp.asarray(member), self.codes, self.row_perm, self.pq_books,
+            self.refine_codes, jnp.float32(self.offset),
+            jnp.float32(self.scale), top_k=top_k,
+            refine_factor=self.cfg.refine_factor)
         return np.asarray(vals), np.asarray(ids)
-
-    @functools.partial(jax.jit, static_argnames=("self", "top_k"))
-    def _union_score(self, q_rot, q_raw, rows, row_list, member, top_k: int):
-        b = q_rot.shape[0]
-        u = rows.shape[0]
-        chunk = min(u, 16384)
-        n_chunks = u // chunk
-        is_pq = self.pq_books is not None
-        do_refine = is_pq and self.refine_codes is not None
-        scan_k = top_k * self.cfg.refine_factor if do_refine else top_k
-        if is_pq:
-            lut = pq_lut(self.pq_books, q_rot).astype(jnp.bfloat16)  # [B,M,K]
-            m = lut.shape[1]
-            flat_lut = lut.reshape(b, m * 256)
-        else:
-            qsum = q_rot.sum(-1) * self.offset
-            q_bf = q_rot.astype(jnp.bfloat16)
-
-        def body(carry, i):
-            best_s, best_i = carry
-            sl = jax.lax.dynamic_slice(rows, (i * chunk,), (chunk,))
-            rl = jax.lax.dynamic_slice(row_list, (i * chunk,), (chunk,))
-            cand = self.codes[jnp.clip(sl, 0, self.codes.shape[0] - 1)]
-            if is_pq:
-                ksub = 256
-                iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (chunk, cand.shape[1], ksub), 2)
-                oh = (cand[..., None].astype(jnp.int32) == iota
-                      ).reshape(chunk, -1).astype(jnp.bfloat16)
-                s = jax.lax.dot_general(
-                    flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)  # [B, chunk]
-            else:
-                s = jax.lax.dot_general(
-                    q_bf, cand.astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-                s = s / self.scale + qsum[:, None]
-            ok = (rl >= 0)[None, :] & (
-                jnp.take_along_axis(
-                    member, jnp.broadcast_to(
-                        jnp.clip(rl, 0)[None, :], (b, chunk)), axis=1) > 0)
-            s = jnp.where(ok, s, NEG_INF)
-            cat_s = jnp.concatenate([best_s, s], axis=1)
-            cat_i = jnp.concatenate(
-                [best_i, jnp.broadcast_to(sl[None, :], (b, chunk))], axis=1)
-            vals, pos = jax.lax.top_k(cat_s, scan_k)
-            ids = jnp.take_along_axis(cat_i, pos, axis=1)
-            return (vals, ids), None
-
-        init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
-                jnp.zeros((b, scan_k), rows.dtype))
-        (vals, sorted_rows), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
-        gids = self.row_perm[jnp.clip(sorted_rows, 0,
-                                      self.row_perm.shape[0] - 1)]
-        if do_refine:
-            # exact int8 re-ranking in the UNROTATED space (refine_codes are
-            # the store's raw int8 vectors)
-            cand = self.refine_codes[
-                jnp.clip(gids, 0, self.refine_codes.shape[0] - 1)]
-            qsum_r = q_raw.sum(-1) * self.offset
-            s = jnp.einsum("bd,bcd->bc", q_raw.astype(jnp.bfloat16),
-                           cand.astype(jnp.bfloat16),
-                           preferred_element_type=jnp.float32)
-            s = s / self.scale + qsum_r[:, None]
-            s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
-            vals, pos = jax.lax.top_k(s, top_k)
-            gids = jnp.take_along_axis(gids, pos, axis=1)
-        return vals, gids
 
     # ------------------------------------------------------------- search
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
@@ -405,89 +491,21 @@ class IVFIndex:
         return vals, ids
 
     def _build_search(self, top_k: int, nprobe: int):
-        cap = self.cap
-        is_pq = self.pq_books is not None
-        offset, scale = self.offset, self.scale
+        scan_k = (min(top_k * self.cfg.refine_factor, self.n_total)
+                  if (self.pq_books is not None
+                      and self.refine_codes is not None) else top_k)
         rotation = self.rotation
-        do_refine = is_pq and self.refine_codes is not None
-        scan_k = min(top_k * self.cfg.refine_factor, self.n_total) if do_refine else top_k
 
         def searcher(queries):
-            b, d = queries.shape
-            q_rot = queries if rotation is None else queries @ rotation
+            return _probe_score(
+                queries,
+                queries if rotation is None else queries @ rotation,
+                self.centroids, self.list_offsets, self.codes,
+                self.row_perm, self.pq_books, self.refine_codes,
+                jnp.float32(self.offset), jnp.float32(self.scale),
+                top_k=top_k, nprobe=nprobe, cap=self.cap, scan_k=scan_k)
 
-            # ---- probe (ref: nprobe=256 IVF probe, index.py:53,62)
-            c_scores = jnp.einsum("bd,nd->bn", queries.astype(jnp.bfloat16),
-                                  self.centroids.astype(jnp.bfloat16),
-                                  preferred_element_type=jnp.float32)
-            _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, nprobe]
-
-            if is_pq:
-                lut = pq_lut(self.pq_books, q_rot)  # [B, M, 256]
-                lut_bf = lut.astype(jnp.bfloat16)
-            else:
-                qsum = q_rot.sum(-1) * offset
-                q_bf = q_rot.astype(jnp.bfloat16)
-
-            col = jnp.arange(cap, dtype=jnp.int32)[None, :]
-
-            def probe_step(carry, p_idx):
-                best_s, best_i = carry
-                lists = probe_ids[:, p_idx]  # [B]
-                offs = self.list_offsets[lists]  # [B]
-                lens = self.list_offsets[lists + 1] - offs
-
-                cand = jax.vmap(
-                    lambda o: jax.lax.dynamic_slice(
-                        self.codes, (o, 0), (cap, self.codes.shape[1]))
-                )(offs)  # [B, cap, M or D]
-
-                if is_pq:
-                    # per-subspace one-hot matmul (no gathers; ops/pq.py)
-                    ksub = 256
-                    m = cand.shape[-1]
-                    iota = jax.lax.broadcasted_iota(
-                        jnp.int32, (b, cap, m, ksub), 3)
-                    oh = (cand[..., None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
-                    s = jnp.einsum("bmk,bcmk->bc", lut_bf.reshape(b, m, ksub), oh,
-                                   preferred_element_type=jnp.float32)
-                else:
-                    s = jnp.einsum("bd,bcd->bc", q_bf,
-                                   cand.astype(jnp.bfloat16),
-                                   preferred_element_type=jnp.float32)
-                    s = s / scale + qsum[:, None]
-
-                valid = col < lens[:, None]
-                s = jnp.where(valid, s, NEG_INF)
-                rows = offs[:, None] + col  # sorted-row ids
-                cat_s = jnp.concatenate([best_s, s], axis=1)
-                cat_i = jnp.concatenate([best_i, rows], axis=1)
-                vals, pos = jax.lax.top_k(cat_s, scan_k)
-                ids = jnp.take_along_axis(cat_i, pos, axis=1)
-                return (vals, ids), None
-
-            init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
-                    jnp.zeros((b, scan_k), jnp.int32))
-            (vals, rows), _ = jax.lax.scan(init=init, xs=jnp.arange(nprobe),
-                                           f=probe_step)
-            gids = self.row_perm[jnp.clip(rows, 0, self.row_perm.shape[0] - 1)]
-
-            if do_refine:
-                # exact int8 re-ranking of the PQ candidates (one gather +
-                # one batched matvec; the int8 matrix is the store's own)
-                cand = self.refine_codes[
-                    jnp.clip(gids, 0, self.refine_codes.shape[0] - 1)]
-                qsum_r = queries.sum(-1) * offset
-                s = jnp.einsum("bd,bcd->bc", queries.astype(jnp.bfloat16),
-                               cand.astype(jnp.bfloat16),
-                               preferred_element_type=jnp.float32)
-                s = s / scale + qsum_r[:, None]
-                s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
-                vals, pos = jax.lax.top_k(s, top_k)
-                gids = jnp.take_along_axis(gids, pos, axis=1)
-            return vals, gids
-
-        return jax.jit(searcher)
+        return searcher
 
     # ------------------------------------------------------------- io
     def save(self, path: str):
