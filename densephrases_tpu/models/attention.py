@@ -87,10 +87,36 @@ def attention_pallas(q, k, v, mask, interpret: bool = False):
     return out.reshape(b, h, l, d)
 
 
+@jax.custom_vjp
+def _attention_pallas_ad(q, k, v, mask):
+    return attention_pallas(q, k, v, mask)
+
+
+def _attention_pallas_fwd(q, k, v, mask):
+    return attention_pallas(q, k, v, mask), (q, k, v, mask)
+
+
+def _attention_pallas_bwd(res, g):
+    # Backward recomputes through the XLA formulation (identical math); the
+    # fused kernel stays a pure-forward fast path while training gradients
+    # come from XLA's well-tested attention VJP.
+    q, k, v, mask = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, mask),
+                     q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_attention_pallas_ad.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
+
+
 def attention(q, k, v, mask, impl: str = "auto", interpret: bool = False):
-    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla otherwise)."""
+    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla otherwise).
+    The pallas path is differentiable via a custom VJP (XLA backward)."""
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
-        return attention_pallas(q, k, v, mask, interpret=interpret)
+        if interpret:
+            return attention_pallas(q, k, v, mask, interpret=True)
+        return _attention_pallas_ad(q, k, v, mask)
     return attention_xla(q, k, v, mask)

@@ -121,12 +121,17 @@ def bert_forward(
     dropout_rng=None,
     attn_impl: str = "auto",
     compute_dtype=jnp.bfloat16,
+    remat: bool = True,
 ):
     """Run the tower. Returns the full sequence output [B, L, H] (fp32).
 
     ``attention_mask``: [B, L], 1 for real tokens. Matches HF BertModel
     semantics (the reference towers consume ``outputs[0]``,
     ref: encoder.py:94-99,104-117).
+
+    remat: rematerialize each layer in the backward pass (jax.checkpoint on
+    the scanned layer body) — activation memory O(1 layer) instead of
+    O(num_layers), the standard trade for 3-tower training in one chip's HBM.
     """
     from densephrases_tpu.models.attention import attention
 
@@ -203,5 +208,6 @@ def bert_forward(
         )
         return out, None
 
-    x, _ = jax.lax.scan(layer_body, x, (params["layers"], layer_rngs))
+    body = jax.checkpoint(layer_body) if remat else layer_body
+    x, _ = jax.lax.scan(body, x, (params["layers"], layer_rngs))
     return x.astype(jnp.float32)
