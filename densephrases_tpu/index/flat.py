@@ -38,6 +38,42 @@ def _round_up(x: int, m: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "chunk"))
+def _scan_topk_int4(queries, packed, n_valid, offset, scale,
+                    *, top_k: int, chunk: int):
+    """MIPS over int4-packed codes [R, D/2] (two nibbles per byte, high
+    nibble = first half of the feature dim; ops/quant.float_to_int4
+    layout). SQ4 parity (ref: build_phrase_index.py:103-105 QT_4bit) at
+    half the HBM footprint; unpack fuses into the scan."""
+    b, d = queries.shape
+    qsum = queries.sum(-1) * offset
+    qbf = queries.astype(jnp.bfloat16)
+    col = jnp.arange(chunk, dtype=jnp.int32)[None, :]
+    n_chunks = packed.shape[0] // chunk
+    k = min(top_k, chunk)
+    hd = packed.shape[1]
+
+    def body(_, i):
+        c = jax.lax.dynamic_slice(packed, (i * chunk, 0), (chunk, hd))
+        c = c.astype(jnp.int32)
+        x = jnp.concatenate([(c // 16), (c % 16)], axis=1).astype(jnp.bfloat16)
+        s = jax.lax.dot_general(
+            qbf, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s / scale + qsum[:, None]
+        ids = i * chunk + col
+        s = jnp.where(ids < n_valid, s, NEG_INF)
+        vals, pos = jax.lax.approx_max_k(s, k, recall_target=0.98)
+        return None, (vals, (i * chunk + pos).astype(jnp.int32))
+
+    _, (all_vals, all_ids) = jax.lax.scan(body, None, jnp.arange(n_chunks))
+    all_vals = jnp.moveaxis(all_vals, 0, 1).reshape(b, n_chunks * k)
+    all_ids = jnp.moveaxis(all_ids, 0, 1).reshape(b, n_chunks * k)
+    vals, pos = jax.lax.top_k(all_vals, top_k)
+    ids = jnp.take_along_axis(all_ids, pos, axis=-1)
+    return vals, ids
+
+
+@functools.partial(jax.jit, static_argnames=("top_k", "chunk"))
 def _scan_topk(queries, codes, n_valid, offset, scale, *, top_k: int, chunk: int):
     """MIPS over one device's corpus shard: chunked matmul scan + per-chunk
     hardware-accelerated approximate top-k + one exact final merge.
@@ -89,13 +125,32 @@ class FlatIndex:
     def __init__(self, codes, offset: float = DEFAULT_OFFSET,
                  scale: float = DEFAULT_SCALE, mesh: Optional[Mesh] = None,
                  shard_axis: str = "shard", chunk: int = 4096,
-                 backend: str = "xla"):
+                 backend: str = "xla", quant: str = "int8",
+                 int4_offset: Optional[float] = None,
+                 int4_scale: Optional[float] = None):
         """codes: [N, D] int8 — np array OR an already-device-resident jnp
         array. When a device array whose row count is chunk-aligned is
         passed (single-device case), it is used in place, so the MIPS serve
-        path shares ONE HBM buffer between scan and rescore stages."""
+        path shares ONE HBM buffer between scan and rescore stages.
+
+        quant='int4' re-quantizes the vectors to 4 bits and packs two codes
+        per byte on device (SQ4 parity, half the HBM footprint)."""
         assert codes.dtype == np.int8 or codes.dtype == jnp.int8
-        self.n_total, self.dim = codes.shape
+        self.quant = quant
+        if quant == "int4":
+            from densephrases_tpu.ops.quant import (
+                INT4_OFFSET, INT4_SCALE, float_to_int4, int8_to_float)
+
+            assert mesh is None, "int4 flat index is single-device for now"
+            self.int4_offset = INT4_OFFSET if int4_offset is None else int4_offset
+            self.int4_scale = INT4_SCALE if int4_scale is None else int4_scale
+            floats = int8_to_float(np.asarray(codes), offset, scale)
+            codes = float_to_int4(floats, self.int4_offset, self.int4_scale)
+            # packed uint8 [N, D/2]; dim tracks the LOGICAL dim
+            self._packed_width = codes.shape[1]
+            self.n_total, self.dim = codes.shape[0], codes.shape[1] * 2
+        else:
+            self.n_total, self.dim = codes.shape
         self.offset = float(offset)
         self.scale = float(scale)
         self.mesh = mesh
@@ -109,15 +164,16 @@ class FlatIndex:
         self.shard_rows = _round_up(
             max(self.n_total // n_dev + (self.n_total % n_dev > 0), 1), chunk)
         total_rows = self.shard_rows * n_dev
+        width = codes.shape[1]  # physical width (dim, or dim/2 packed int4)
         if (mesh is None and isinstance(codes, jnp.ndarray)
                 and codes.shape[0] == total_rows):
             self.codes = codes  # shared in-place buffer
         else:
-            padded = np.zeros((total_rows, self.dim), np.int8)
+            padded = np.zeros((total_rows, width), np.asarray(codes).dtype)
             padded[: self.n_total] = np.asarray(codes)
             if mesh is not None:
                 stacked = padded.reshape(
-                    n_dev, self.shard_rows // chunk, chunk, self.dim)
+                    n_dev, self.shard_rows // chunk, chunk, width)
                 sharding = NamedSharding(mesh, P(shard_axis))
                 self.codes = jax.device_put(stacked, sharding)
             else:
@@ -130,6 +186,16 @@ class FlatIndex:
         n_total = self.n_total
 
         if self.mesh is None:
+            if self.quant == "int4":
+                i4_off, i4_scale = self.int4_offset, self.int4_scale
+
+                def search_fn(queries, top_k: int):
+                    vals, ids = _scan_topk_int4(
+                        queries, self.codes, jnp.int32(n_total),
+                        i4_off, i4_scale, top_k=top_k, chunk=chunk)
+                    return vals, ids.astype(jnp.int64)
+                return search_fn
+
             if self.backend == "pallas":
                 from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
 
