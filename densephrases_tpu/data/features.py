@@ -192,10 +192,12 @@ def convert_questions_to_features(
     questions: List[str], tokenizer: WordPieceTokenizer,
     max_query_length: int = 64, qids: Optional[List[str]] = None,
 ):
-    """[CLS] question [SEP] features (ref: squad_utils.py:1621-1638)."""
+    """[CLS] question [SEP] features (ref: squad_utils.py:1621-1638).
+    Uses the Rust batch tokenizer when available (queries need no offsets)."""
     out = []
+    all_ids = tokenizer.encode_batch_ids(questions)
     for i, q in enumerate(questions):
-        ids = tokenizer.convert_tokens_to_ids(tokenizer.tokenize(q))
+        ids = all_ids[i]
         ids = [tokenizer.cls_token_id] + ids[: max_query_length - 2] + [tokenizer.sep_token_id]
         pad = max_query_length - len(ids)
         out.append(QuestionFeatures(

@@ -163,6 +163,37 @@ class WordPieceTokenizer:
     def convert_ids_to_tokens(self, ids: List[int]) -> List[str]:
         return [self.inv_vocab.get(i, self.unk_token) for i in ids]
 
+    # -------- fast batch path (Rust `tokenizers` backend) --------
+    def _fast_backend(self):
+        """Build (once) a Rust WordPiece tokenizer over the same vocab —
+        used for offset-free batch encoding (queries); the context path
+        keeps the word-by-word python tokenization that offset tracking
+        relies on."""
+        if getattr(self, "_fast", None) is None:
+            try:
+                from tokenizers import Tokenizer, models, normalizers, pre_tokenizers
+
+                tok = Tokenizer(models.WordPiece(
+                    self.vocab, unk_token=self.unk_token))
+                norm = [normalizers.NFD()]
+                if self.do_lower_case:
+                    norm += [normalizers.Lowercase(), normalizers.StripAccents()]
+                tok.normalizer = normalizers.Sequence(norm)
+                tok.pre_tokenizer = pre_tokenizers.Sequence(
+                    [pre_tokenizers.Whitespace()])
+                self._fast = tok
+            except Exception:  # noqa: BLE001 — fall back to python path
+                self._fast = False
+        return self._fast or None
+
+    def encode_batch_ids(self, texts: List[str]) -> List[List[int]]:
+        """Batch-tokenize plain texts to ids (no special tokens, no offsets).
+        Rust-backed when available; python fallback otherwise."""
+        fast = self._fast_backend()
+        if fast is not None:
+            return [enc.ids for enc in fast.encode_batch(texts)]
+        return [self.convert_tokens_to_ids(self.tokenize(t)) for t in texts]
+
     def encode(self, text_a: str, text_b: Optional[str] = None,
                max_length: int = 512) -> Tuple[List[int], List[int], List[int]]:
         """[CLS] a [SEP] (b [SEP]) → (input_ids, attention_mask, token_type_ids)."""

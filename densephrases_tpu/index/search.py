@@ -229,6 +229,14 @@ class MIPS:
             res, s_gids, e_gids = jax.device_get(
                 (res, jnp.asarray(s_gids), jnp.asarray(e_gids)))
 
+        return self._assemble(res, s_gids, e_gids, return_idxs=return_idxs,
+                              return_sent=return_sent)
+
+    def _assemble(self, res, s_gids, e_gids, return_idxs: bool = False,
+                  return_sent: bool = False):
+        """Host stage 3: char-offset lookup + result dict construction from
+        the downloaded rescore bundle (ref: index.py:374-422)."""
+        b = s_gids.shape[0]
         # Assemble per-query candidate list: for each of the K start hits a
         # (start, best end) span, then for each of the K end hits a
         # (best start, end) span — 2K candidates (ref: index.py:374-378).
