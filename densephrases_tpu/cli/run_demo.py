@@ -49,6 +49,24 @@ def main(argv=None):
         model = load_model(opts)
         serve(make_index_app(model, default_top_k=opts.retrieval.top_k),
               opts.demo.index_port)
+    elif mode == "serve_bert":
+        # single-passage reader service (ref: run_demo.py:151-272)
+        from densephrases_tpu.cli.common import load_encoder
+        from densephrases_tpu.serve.server import make_reader_app
+        from densephrases_tpu.utils.checkpoint import restore_checkpoint
+        from densephrases_tpu.train.cross_encoder import init_cross_params
+        import jax as _jax
+
+        params, config, tokenizer = load_encoder(opts.model.load_dir,
+                                                 draft=opts.draft)
+        if "cross" not in params:
+            import os as _os
+
+            template = init_cross_params(_jax.random.PRNGKey(0), config)
+            params = restore_checkpoint(
+                _os.path.join(opts.model.load_dir, "params"), template)
+        serve(make_reader_app(params, config, tokenizer),
+              opts.demo.index_port)
     elif mode == "eval_request":
         _, questions, answers = load_qa_pairs(opts.retrieval.test_path,
                                               draft=opts.draft)

@@ -145,6 +145,33 @@ def make_index_app(model, default_top_k: int = 10,
     ])
 
 
+def make_reader_app(cross_params, config, tokenizer, attn_impl: str = "auto"):
+    """Single-passage reading service: POST /single_api
+    {'question': str|[str], 'passage': str|[str]} → extracted answers
+    (ref: run_demo.py:151-272 serve_bert_encoder)."""
+    import tornado.web
+
+    from densephrases_tpu.eval.reader import read_passages
+
+    class SingleApi(tornado.web.RequestHandler):
+        def post(self):
+            body = json.loads(self.request.body or b"{}")
+            qs = body.get("question", [])
+            ps = body.get("passage", [])
+            if isinstance(qs, str):
+                qs = [qs]
+            if isinstance(ps, str):
+                ps = [ps]
+            t0 = time.time()
+            out = read_passages(cross_params, config, tokenizer, qs, ps,
+                                attn_impl=attn_impl)
+            self.write(json.dumps({
+                "ret": out, "time": int(1000 * (time.time() - t0)),
+            }, default=_json_default))
+
+    return tornado.web.Application([(r"/single_api", SingleApi)])
+
+
 def serve(app, port: int):
     """Blocking serve loop."""
     import tornado.ioloop
