@@ -46,8 +46,37 @@ def load_model(opts: Options) -> DensePhrases:
                         max_query_length=m.max_query_length, truecase=truecase)
 
 
+def evaluate_psg(opts: Options, model, test_path: str):
+    """Passage-level retrieval eval + FiD export
+    (ref: eval_phrase_retrieval.py:304-371 evaluate_results_psg)."""
+    from densephrases_tpu.eval.passage import evaluate_passages, to_fid_format
+
+    r = opts.retrieval
+    qids, questions, answers = load_qa_pairs(
+        test_path, draft=opts.draft, truecase=model.truecase)
+    results = []
+    for b0 in range(0, len(questions), r.eval_batch_size):
+        chunk = questions[b0: b0 + r.eval_batch_size]
+        qvec = model.query2vec(chunk)
+        results.extend(model.mips.search(
+            qvec, q_texts=chunk, top_k=r.psg_top_k, aggregate=True,
+            agg_strat="opt2"))
+    metrics = evaluate_passages(results, answers, regex=r.regex)
+    out_dir = opts.data.save_dir or "."
+    os.makedirs(out_dir, exist_ok=True)
+    to_fid_format(questions, answers, results, mark_phrase=True,
+                  out_path=os.path.join(
+                      out_dir, f"fid_{os.path.basename(test_path)}.json"))
+    with open(os.path.join(out_dir, "eval_logger.txt"), "a") as f:
+        f.write(f"{test_path}\tPSG\t" + "\t".join(
+            f"{k}={v:.2f}" for k, v in metrics.items()) + "\n")
+    return metrics
+
+
 def evaluate_one(opts: Options, model, test_path: str):
     r = opts.retrieval
+    if r.eval_psg:
+        return evaluate_psg(opts, model, test_path)
     qids, questions, answers = load_qa_pairs(
         test_path, draft=opts.draft, truecase=model.truecase)
     candidates = None

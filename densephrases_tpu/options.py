@@ -124,6 +124,8 @@ class RetrievalOptions:
     agg_strat: str = "opt1"
     kilt: bool = False
     title2wikiid_path: str = ""
+    eval_psg: bool = False  # passage-level eval (ref: eval_psg mode)
+    save_pred: bool = True
 
 
 @dataclass

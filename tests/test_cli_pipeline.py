@@ -94,3 +94,25 @@ def test_full_draft_pipeline(workspace):
     ])
     assert "em_top1" in metrics
     assert os.path.exists(str(ws / "out" / "eval_logger.txt"))
+
+
+def test_eval_psg_mode(workspace):
+    """Passage-level eval mode through the CLI (eval-index-psg parity).
+    Depends on artifacts produced by test_full_draft_pipeline (same
+    module-scoped workspace)."""
+    ws = workspace
+    if not os.path.exists(str(ws / "dump" / "start" / "16_flat_SQ8")):
+        pytest.skip("draft pipeline artifacts missing (run full module)")
+    from densephrases_tpu.cli import eval_phrase_retrieval
+
+    metrics = eval_phrase_retrieval.main([
+        "--load_dir", str(ws / "enc"), "--dump_dir", str(ws / "dump"),
+        "--index_name", "start/16_flat_SQ8",
+        "--test_path", str(ws / "qa.json"),
+        "--eval_psg", "--psg_top_k", "10", "--eval_batch_size", "4",
+        "--save_dir", str(ws / "out_psg"),
+        "--max_seq_length", "128", "--max_query_length", "24",
+    ])
+    assert any(k.startswith("recall@") for k in metrics)
+    import os
+    assert os.path.exists(str(ws / "out_psg" / "fid_qa.json.json"))
