@@ -114,5 +114,4 @@ def test_eval_psg_mode(workspace):
         "--max_seq_length", "128", "--max_query_length", "24",
     ])
     assert any(k.startswith("recall@") for k in metrics)
-    import os
     assert os.path.exists(str(ws / "out_psg" / "fid_qa.json.json"))
