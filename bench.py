@@ -14,16 +14,14 @@ import time
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 
 def main():
     from densephrases_tpu.index.search import MIPS
     from densephrases_tpu.index.store import DocMeta, StoreWriter
     from densephrases_tpu.models.bert import BertConfig
-    from densephrases_tpu.models.encoder import embed_query, init_encoder_params
+    from densephrases_tpu.models.encoder import init_encoder_params
     from densephrases_tpu.ops.quant import float_to_int8
-    import functools
     import tempfile
 
     config = BertConfig()  # BERT-base geometry
