@@ -76,14 +76,32 @@ class RemoteQueryEncoder:
 
 def make_index_app(model, default_top_k: int = 10,
                    examples: Optional[List[str]] = None,
-                   remote_encoder: Optional[RemoteQueryEncoder] = None):
+                   remote_encoder: Optional[RemoteQueryEncoder] = None,
+                   fused: bool = True):
     """Index service: GET /api?query=...&strat=...; POST /batch_api
     (ref: run_demo.py:70-149). With remote_encoder, query vectors come from
-    a separate q_serve process over HTTP (two-process mode)."""
+    a separate q_serve process over HTTP (two-process mode). With fused
+    (default) and a single-device FlatIndex, phrase queries go through the
+    one-dispatch serve path."""
     import tornado.web
 
+    fused_server = None
+    if fused and remote_encoder is None:
+        try:
+            from densephrases_tpu.serve.fused import FusedServer
+
+            fused_server = FusedServer(model)
+            logger.info("index app: fused one-dispatch serve path active")
+        except AssertionError:
+            fused_server = None  # sharded/IVF engine → modular path
+
     def do_search(queries, top_k, strat, unit):
-        if remote_encoder is not None:
+        if fused_server is not None and unit == "phrase":
+            rets_all = fused_server.search(queries, top_k=top_k,
+                                           aggregate=True)
+            answers = [[r["answer"] for r in ret[:top_k]] for ret in rets_all]
+            rets = [ret[:top_k] for ret in rets_all]
+        elif remote_encoder is not None:
             qvec = remote_encoder.query2vec(queries)
             search_k = top_k if unit == "phrase" else top_k * 2
             rets_all = model.mips.search(
