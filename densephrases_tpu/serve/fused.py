@@ -60,11 +60,14 @@ class FusedServer:
     into the one-dispatch serve path. Drop-in for .search with phrase unit."""
 
     def __init__(self, model, chunk: Optional[int] = None):
+        from densephrases_tpu.index.flat import FlatIndex
+
         self.model = model
         mips: MIPS = model.mips
         index = mips.index
-        assert getattr(index, "mesh", None) is None and hasattr(index, "codes"), (
-            "fused serving needs a single-device FlatIndex")
+        assert isinstance(index, FlatIndex) and index.mesh is None \
+            and index.quant == "int8", (
+            "fused serving needs a single-device int8 FlatIndex")
         assert index.codes.ndim == 2, "fused serving needs the flat 2D buffer"
         self.mips = mips
         self.index = index
