@@ -15,11 +15,14 @@ Runs entirely inside one jit per iteration; data stays on device.
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 @functools.partial(jax.jit, static_argnames=("chunk",))
@@ -159,7 +162,7 @@ def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
         if n_empty:
             centroids[~nonempty] = x[rng.choice(n, size=n_empty, replace=False)]
         if verbose:
-            print(f"kmeans iter {it}: cost={float(cost):.1f} empty={n_empty}")
+            logger.info("kmeans iter %d: cost=%.1f empty=%d", it, float(cost), n_empty)
 
     assigns = assign_blocks(x, centroids, chunk=chunk)
     return centroids, assigns

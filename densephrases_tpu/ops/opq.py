@@ -14,12 +14,15 @@ it is a 768×768 problem, negligible.
 
 from __future__ import annotations
 
+import logging
 from dataclasses import dataclass
 from typing import Tuple
 
 import numpy as np
 
 from densephrases_tpu.ops.pq import PQCodebook, pq_decode, pq_encode, train_pq
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -54,7 +57,7 @@ def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
         delta = float(np.abs(r_new - r).max())
         err = float(np.mean((y - y_hat) ** 2))
         if verbose:
-            print(f"opq iter {it}: recon_mse={err:.5f} dR={delta:.5f}")
+            logger.info("opq iter %d: recon_mse=%.5f dR=%.5f", it, err, delta)
         r = r_new
 
     # final PQ fit on the converged rotation
