@@ -40,7 +40,9 @@ def main(argv=None):
     feats = convert_rc_examples(
         examples, tokenizer, max_seq_length=m.max_seq_length,
         doc_stride=m.doc_stride, max_query_length=m.max_query_length,
-        with_teacher=True)
+        with_teacher=True,
+        max_cross_length=min(m.max_seq_length + m.max_query_length,
+                             config.max_position_embeddings))
     logger.info("training teacher on %d features", len(feats))
 
     cross_params, losses = train_cross_encoder(

@@ -75,10 +75,27 @@ def main(argv=None):
             f"config vocab {config.vocab_size} < tokenizer {tokenizer.vocab_size}")
 
     with_teacher = t.lambda_kl > 0
+    if with_teacher:
+        # teacher cross-encoder weights join the param tree (ref weight
+        # surgery: train_rc.py:508-530 — here it's a dict merge)
+        from densephrases_tpu.train.cross_encoder import init_cross_params
+        from densephrases_tpu.utils.checkpoint import restore_checkpoint as _restore
+
+        template = init_cross_params(jax.random.PRNGKey(t.seed + 1), config)
+        if t.teacher_dir:
+            teacher = _restore(os.path.join(t.teacher_dir, "params"), template)
+            logger.info("loaded distillation teacher from %s", t.teacher_dir)
+        else:
+            teacher = template
+            logger.warning("lambda_kl>0 but no --teacher_dir: random teacher")
+        params = {**params, **teacher}
+
     feats = convert_rc_examples(
         examples, tokenizer, max_seq_length=m.max_seq_length,
         doc_stride=m.doc_stride, max_query_length=m.max_query_length,
-        with_teacher=with_teacher)
+        with_teacher=with_teacher,
+        max_cross_length=min(m.max_seq_length + m.max_query_length,
+                             config.max_position_embeddings))
     logger.info("converted %d features", len(feats))
 
     n_dev = len(jax.devices())
@@ -141,7 +158,10 @@ def main(argv=None):
             break
 
     if m.output_dir:
-        save_encoder(m.output_dir, state.params, config, tokenizer)
+        # strip the frozen teacher before saving (ref: train_rc.py:546-549)
+        save_params = {k: v for k, v in state.params.items()
+                       if k not in ("cross", "qa_outputs")}
+        save_encoder(m.output_dir, save_params, config, tokenizer)
         if ckpt_dir:
             save_checkpoint(ckpt_dir, state, step=global_step)
         logger.info("saved to %s", m.output_dir)

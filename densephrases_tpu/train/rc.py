@@ -106,15 +106,23 @@ def make_train_step(config: BertConfig, loss_cfg: RCLossConfig, optimizer,
     """
 
     def freeze_grads(grads, params):
+        new = dict(grads)
+        # teacher towers never update (ref: frozen cross-encoder,
+        # train_rc.py:65-73; removed before save :546-549)
+        for frozen_tree in ("cross", "qa_outputs"):
+            if frozen_tree in new:
+                new[frozen_tree] = jax.tree.map(jnp.zeros_like,
+                                                new[frozen_tree])
         if not frozen_word_embeddings:
-            return grads
+            return new
+
         def zero_embed(g):
             g = dict(g)
             emb = dict(g["embed"])
             emb["word"] = jnp.zeros_like(emb["word"])
             g["embed"] = emb
             return g
-        new = dict(grads)
+
         for tower in ("phrase", "query_start", "query_end"):
             if tower in new:
                 new[tower] = zero_embed(new[tower])

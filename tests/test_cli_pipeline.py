@@ -115,3 +115,47 @@ def test_eval_psg_mode(workspace):
     ])
     assert any(k.startswith("recall@") for k in metrics)
     assert os.path.exists(str(ws / "out_psg" / "fid_qa.json.json"))
+
+
+def test_train_rc_with_distillation(workspace, tmp_path):
+    """train_rc --lambda_kl with a trained teacher: teacher weights load,
+    stay frozen, and are stripped from the saved encoder."""
+    ws = workspace
+    from densephrases_tpu.cli import train_cross_encoder, train_rc
+
+    teacher_dir = str(tmp_path / "teacher")
+    train_cross_encoder.main([
+        "--train_file", str(ws / "rc.json"), "--output_dir", teacher_dir,
+        "--num_train_epochs", "1", "--per_device_train_batch_size", "1",
+        "--max_seq_length", "128", "--doc_stride", "64",
+        "--max_query_length", "24", "--draft",
+    ])
+
+    out_dir = str(tmp_path / "student")
+    state, rates = train_rc.main([
+        "--train_file", str(ws / "rc.json"), "--output_dir", out_dir,
+        "--num_train_epochs", "1", "--per_device_train_batch_size", "1",
+        "--max_seq_length", "128", "--doc_stride", "64",
+        "--max_query_length", "24", "--lambda_kl", "1.0",
+        "--teacher_dir", teacher_dir, "--draft",
+    ])
+    assert "cross" in state.params  # teacher present during training
+    # teacher unchanged by training (frozen)
+    import jax as _jax
+    import numpy as _np
+    from densephrases_tpu.models.bert import BertConfig
+    from densephrases_tpu.train.cross_encoder import init_cross_params
+    from densephrases_tpu.utils.checkpoint import restore_checkpoint
+    from densephrases_tpu.cli.common import load_config
+
+    cfg = load_config(teacher_dir)
+    template = init_cross_params(_jax.random.PRNGKey(0), cfg)
+    teacher = restore_checkpoint(os.path.join(teacher_dir, "params"), template)
+    _np.testing.assert_array_equal(
+        _np.asarray(state.params["qa_outputs"]["w"]),
+        _np.asarray(teacher["qa_outputs"]["w"]))
+    # saved encoder has no teacher weights
+    saved = restore_checkpoint
+    from densephrases_tpu.cli.common import load_encoder
+    params, _, _ = load_encoder(out_dir)
+    assert "cross" not in params
