@@ -99,7 +99,18 @@ def main(argv=None):
     logger.info("converted %d features", len(feats))
 
     n_dev = len(jax.devices())
+    if len(feats) < t.per_device_train_batch_size * n_dev:
+        logger.warning(
+            "only %d features for %d devices: falling back to single-device",
+            len(feats), n_dev)
+        n_dev = 1
     batch_size = t.per_device_train_batch_size * n_dev
+    if len(feats) < batch_size:
+        # tiny/draft datasets: repeat features so at least one full batch
+        # exists (drop_last would otherwise silently train nothing)
+        reps = (batch_size + len(feats) - 1) // len(feats)
+        feats = (feats * reps)[:max(batch_size, len(feats))]
+        logger.warning("repeated features to fill one batch (%d)", len(feats))
     steps_per_epoch = max(len(feats) // batch_size, 1)
     total_steps = (t.max_steps if t.max_steps > 0
                    else int(steps_per_epoch * t.num_train_epochs))
@@ -115,7 +126,7 @@ def main(argv=None):
     if n_dev > 1:
         from jax.sharding import Mesh
 
-        mesh = Mesh(np.array(jax.devices()), ("dp",))
+        mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
         loss_cfg.axis_name = "dp"
 
     state = create_train_state(

@@ -159,3 +159,26 @@ def test_train_rc_with_distillation(workspace, tmp_path):
     from densephrases_tpu.cli.common import load_encoder
     params, _, _ = load_encoder(out_dir)
     assert "cross" not in params
+
+
+def test_train_rc_checkpoint_resume(workspace, tmp_path):
+    """Resume restores optimizer state + step and fast-forwards the data
+    order (ref: train_rc.py:99-110,147-189)."""
+    ws = workspace
+    from densephrases_tpu.cli import train_rc
+    from densephrases_tpu.utils.checkpoint import latest_checkpoint
+
+    out = str(tmp_path / "resume_enc")
+    args = ["--train_file", str(ws / "rc.json"), "--output_dir", out,
+            "--per_device_train_batch_size", "1",
+            "--max_seq_length", "128", "--doc_stride", "64",
+            "--max_query_length", "24", "--draft",
+            "--num_train_epochs", "8", "--save_steps", "2"]
+    state1, _ = train_rc.main(args + ["--max_steps", "4"])
+    assert int(np.asarray(state1.step)) == 4
+    ck = latest_checkpoint(os.path.join(out, "ckpt"))
+    assert ck is not None and ck.endswith("step_4")
+
+    # resume: continues from step 4 up to 6
+    state2, _ = train_rc.main(args + ["--max_steps", "6"])
+    assert int(np.asarray(state2.step)) == 6
