@@ -54,6 +54,11 @@ def main(argv=None):
     p = sub.add_parser("store-stats")
     p.add_argument("--store", required=True)
 
+    p = sub.add_parser("train-truecase")
+    p.add_argument("--input", required=True,
+                   help="cased corpus: squad json or plain text file")
+    p.add_argument("--out", required=True)
+
     args = parser.parse_args(argv)
 
     if args.cmd == "build-db":
@@ -98,6 +103,25 @@ def main(argv=None):
         from densephrases_tpu.tools.store_tools import store_stats
 
         print(json.dumps(store_stats(args.store), indent=1))
+    elif args.cmd == "train-truecase":
+        # train the ngram truecasing model from a cased corpus
+        # (ref ships a prebuilt pickle; densephrases_tpu/data/truecase.py)
+        import re
+
+        from densephrases_tpu.data.truecase import TrueCaser
+
+        tc = TrueCaser()
+        if args.input.endswith(".json"):
+            data = json.load(open(args.input))["data"]
+            texts = (p["context"] for art in data for p in art["paragraphs"])
+        else:
+            texts = (line for line in open(args.input) if line.strip())
+        n = 0
+        for text in texts:
+            tc.train(re.split(r"(?<=[.!?])\s+", text))
+            n += 1
+        tc.save(args.out)
+        logger.info("truecase model trained on %d texts → %s", n, args.out)
 
 
 if __name__ == "__main__":

@@ -85,3 +85,16 @@ def test_filter_qg_round_trip(tmp_path):
     # broken reader → nothing kept
     out2 = str(tmp_path / "filtered2.json")
     assert filter_qg(qg_path, out2, lambda q, c: "garbage") == 0
+
+
+def test_preprocess_train_truecase(tmp_path):
+    from densephrases_tpu.cli import preprocess
+    from densephrases_tpu.data.truecase import TrueCaser
+
+    corpus = tmp_path / "text.txt"
+    corpus.write_text("Angela Merkel visited Paris today.\n"
+                      "The chancellor Angela Merkel spoke in Paris.\n" * 3)
+    out = str(tmp_path / "tc.pkl")
+    preprocess.main(["train-truecase", "--input", str(corpus), "--out", out])
+    tc = TrueCaser(out)
+    assert "Merkel" in tc.get_true_case("when did merkel visit paris")
