@@ -193,7 +193,7 @@ class FlatIndex:
                     vals, ids = _scan_topk_int4(
                         queries, self.codes, jnp.int32(n_total),
                         i4_off, i4_scale, top_k=top_k, chunk=chunk)
-                    return vals, ids.astype(jnp.int64)
+                    return vals, ids  # int32: per-device rows << 2^31
                 return search_fn
 
             if self.backend == "pallas":
@@ -206,14 +206,14 @@ class FlatIndex:
                         queries, self.codes, jnp.int32(n_total), offset,
                         scale, top_k=top_k, chunk=min(chunk, 4096),
                         interpret=(jax.default_backend() != "tpu"))
-                    return vals, ids.astype(jnp.int64)
+                    return vals, ids  # int32: per-device rows << 2^31
                 return search_fn
 
             def search_fn(queries, top_k: int):
                 vals, ids = _scan_topk(
                     queries, self.codes, jnp.int32(n_total), offset, scale,
                     top_k=top_k, chunk=chunk)
-                return vals, ids.astype(jnp.int64)
+                return vals, ids  # int32: per-device rows << 2^31
             return search_fn
 
         mesh, axis = self.mesh, self.shard_axis
