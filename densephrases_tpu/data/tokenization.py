@@ -44,6 +44,7 @@ class BasicTokenizer:
 
     def tokenize(self, text: str) -> List[str]:
         text = self._clean(text)
+        text = self._pad_cjk(text)
         tokens = []
         for tok in text.split():
             if self.do_lower_case:
@@ -66,6 +67,30 @@ class BasicTokenizer:
     def _strip_accents(text):
         text = unicodedata.normalize("NFD", text)
         return "".join(ch for ch in text if unicodedata.category(ch) != "Mn")
+
+    @staticmethod
+    def _is_cjk(cp: int) -> bool:
+        # CJK unicode blocks per BERT's tokenize_chinese_chars semantics
+        return (
+            0x4E00 <= cp <= 0x9FFF or 0x3400 <= cp <= 0x4DBF
+            or 0x20000 <= cp <= 0x2A6DF or 0x2A700 <= cp <= 0x2B73F
+            or 0x2B740 <= cp <= 0x2B81F or 0x2B820 <= cp <= 0x2CEAF
+            or 0xF900 <= cp <= 0xFAFF or 0x2F800 <= cp <= 0x2FA1F
+        )
+
+    @classmethod
+    def _pad_cjk(cls, text):
+        """Space-pad CJK ideographs so each becomes its own token — matches
+        HF BasicTokenizer's tokenize_chinese_chars."""
+        if all(ord(ch) < 0x3400 for ch in text):  # fast ASCII/Latin path
+            return text
+        out = []
+        for ch in text:
+            if cls._is_cjk(ord(ch)):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
 
     @staticmethod
     def _split_punc(text):
@@ -175,12 +200,20 @@ class WordPieceTokenizer:
 
                 tok = Tokenizer(models.WordPiece(
                     self.vocab, unk_token=self.unk_token))
-                norm = [normalizers.NFD()]
-                if self.do_lower_case:
-                    norm += [normalizers.Lowercase(), normalizers.StripAccents()]
-                tok.normalizer = normalizers.Sequence(norm)
+                # BertNormalizer = clean_text + CJK-char isolation +
+                # (lowercase + strip accents) — the same pipeline as our
+                # python BasicTokenizer, including _pad_cjk.
+                tok.normalizer = normalizers.BertNormalizer(
+                    clean_text=True, handle_chinese_chars=True,
+                    strip_accents=self.do_lower_case,
+                    lowercase=self.do_lower_case)
+                # Whitespace() keeps punctuation runs together; BERT basic
+                # tokenization isolates every punctuation char — add an
+                # isolating Punctuation pre-tokenizer so the fast (query)
+                # path tokenizes identically to the python (context) path.
                 tok.pre_tokenizer = pre_tokenizers.Sequence(
-                    [pre_tokenizers.Whitespace()])
+                    [pre_tokenizers.WhitespaceSplit(),
+                     pre_tokenizers.Punctuation(behavior="isolated")])
                 self._fast = tok
             except Exception:  # noqa: BLE001 — fall back to python path
                 self._fast = False

@@ -75,10 +75,17 @@ class FusedServer:
 
     def search(self, queries, top_k: int = 10, max_answer_length: int = 10,
                aggregate: bool = True, agg_strat: str = "opt1",
-               return_sent: bool = False):
+               return_sent: bool = False, truecase: bool = True):
         from densephrases_tpu.data.features import convert_questions_to_features
 
         model = self.model
+        # Same truecase preprocessing as DensePhrases.search — the fused and
+        # modular paths must see identical query text (ref: model.py:66-67).
+        if truecase and model.truecase is not None:
+            queries = [
+                q if q != q.lower() else model.truecase.get_true_case(q)
+                for q in queries
+            ]
         feats = convert_questions_to_features(
             queries, model.tokenizer, model.max_query_length)
         ids = jnp.asarray(np.stack([f.input_ids for f in feats]))

@@ -108,7 +108,15 @@ def make_index_app(model, default_top_k: int = 10,
                 qvec, q_texts=queries, top_k=search_k, aggregate=True,
                 agg_strat=model.UNIT_TO_STRAT.get(unit, "opt1"),
                 return_sent=(unit == "sentence"))
-            answers = [[r["answer"] for r in ret[:top_k]] for ret in rets_all]
+            # Per-unit extraction, mirroring DensePhrases.search
+            # (model.py:99-104): phrase → answer span, sentence/paragraph →
+            # context, document → title.
+            if unit in ("sentence", "paragraph"):
+                answers = [[r["context"] for r in ret[:top_k]] for ret in rets_all]
+            elif unit == "document":
+                answers = [[r["title"][0] for r in ret[:top_k]] for ret in rets_all]
+            else:
+                answers = [[r["answer"] for r in ret[:top_k]] for ret in rets_all]
             rets = [ret[:top_k] for ret in rets_all]
         else:
             answers, rets = model.search(

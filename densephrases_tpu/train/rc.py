@@ -57,6 +57,8 @@ def make_optimizer(lr: float = 3e-5, warmup_steps: int = 0, total_steps: int = 1
     def decay_mask(params):
         def is_decay(path, _):
             name = "/".join(str(k.key) if hasattr(k, "key") else str(k) for k in path)
+            if name == "b" or name.endswith("/b"):  # filter/qa_outputs biases
+                return False
             return not any(s in name for s in ("_b", "bias", "ln_", "_ln"))
         return jax.tree_util.tree_map_with_path(is_decay, params)
 

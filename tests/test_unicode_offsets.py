@@ -52,3 +52,24 @@ def test_empty_question_features():
     feats = convert_questions_to_features(["", "hello"], tok, 8)
     assert len(feats) == 2
     assert feats[0].attention_mask.sum() == 2  # [CLS] [SEP] only
+
+
+def test_fast_and_python_tokenizer_paths_agree():
+    """Queries use the Rust fast path, contexts the python path — they must
+    tokenize identically (punctuation isolation + CJK splitting, matching HF
+    BasicTokenizer semantics)."""
+    from densephrases_tpu.data.tokenization import WordPieceTokenizer
+
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "?", "!", "$",
+             "5", "a", "b", "##?", "##a", "the", "##s", "'", "s", "…",
+             "中", "国", "##中", "e"]
+    tok = WordPieceTokenizer(vocab={v: i for i, v in enumerate(vocab)},
+                             do_lower_case=True)
+    if tok._fast_backend() is None:
+        import pytest
+        pytest.skip("tokenizers backend unavailable")
+    cases = ["???", "a?b", "the$5", "a's", "中国a", "a…b", "!!a??", "Café"]
+    for t in cases:
+        py = tok.convert_tokens_to_ids(tok.tokenize(t))
+        fast = tok.encode_batch_ids([t])[0]
+        assert py == fast, f"{t!r}: python {py} != fast {fast}"
