@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import functools
 import logging
+import queue
+import threading
 from typing import Dict, Iterable, List, Optional
 
 import jax
@@ -71,45 +73,56 @@ def dump_phrases(
     attn_impl: str = "auto",
     append_title: bool = True,
     first_passage: bool = False,
+    tokenize_ahead: int = 4,
+    _stats: Optional[dict] = None,
 ) -> PhraseStore:
     """docs: iterable of {'doc_id': int, 'title': str, 'paragraphs': [str]}.
 
     first_passage: index only each document's first paragraph
     (ref: build_phrase_index.py:204-210 first_passage mode).
 
-    Windows from consecutive docs are batched together for MXU efficiency;
-    per-doc vectors are reassembled on the host, filtered, quantized and
-    appended to the store. Resume: docs already in the store are skipped
+    Fully streaming: a tokenize-ahead thread converts docs to features into a
+    bounded queue (``tokenize_ahead`` docs deep) while the device encodes the
+    previous batch; per-doc vectors are reassembled on the host, filtered,
+    quantized, and appended to the store the moment the window stream moves
+    past the doc. Host memory is O(queue + batch + one open document) — never
+    O(corpus) (role parity with the reference's streaming writer pipeline,
+    ref: embed_utils.py:201-301, its 10-process/10-thread queues collapsed
+    into one tokenizer thread because metadata here is exact bookkeeping).
+    Resume: docs already in the store are skipped
     (ref: generate_phrase_vecs.py:64-71).
+
+    tokenize_ahead: bound (in docs) on the tokenizer→encoder queue.
+    _stats: optional dict; records peak buffered features/open docs (tests).
     """
     hidden = config.hidden_size
     writer = StoreWriter(store_path, hidden, offset, scale)
 
-    # Build features for all docs (host-side, cheap relative to encode).
-    all_feats: List[ContextFeatures] = []
+    q: "queue.Queue" = queue.Queue(maxsize=max(1, tokenize_ahead))
+
+    def produce():
+        try:
+            for doc in docs:
+                did = int(doc["doc_id"])
+                if writer.has_doc(did):
+                    continue
+                paragraphs = (doc["paragraphs"][:1] if first_passage
+                              else doc["paragraphs"])
+                feats, doc_ctx = convert_context_to_features(
+                    did, doc.get("title", ""), paragraphs, tokenizer,
+                    max_seq_length=max_seq_length, append_title=append_title)
+                if feats:
+                    q.put((did, doc_ctx, feats))
+            q.put(None)
+        except BaseException as e:  # noqa: BLE001 — surface in consumer
+            q.put(e)
+
+    threading.Thread(target=produce, daemon=True,
+                     name="dump-tokenize-ahead").start()
+
     doc_ctxs: Dict[int, DocContext] = {}
-    doc_order: List[int] = []
-    for doc in docs:
-        did = int(doc["doc_id"])
-        if writer.has_doc(did):
-            continue
-        paragraphs = doc["paragraphs"][:1] if first_passage else doc["paragraphs"]
-        feats, doc_ctx = convert_context_to_features(
-            did, doc.get("title", ""), paragraphs, tokenizer,
-            max_seq_length=max_seq_length, append_title=append_title)
-        all_feats.extend(feats)
-        doc_ctxs[did] = doc_ctx
-        doc_order.append(did)
-
-    if not all_feats:
-        return writer.finalize()
-
-    # Streaming batched forward: windows are doc-ordered, so a document can
-    # be flushed as soon as the stream moves past its last window — host
-    # memory stays O(batch + one document), not O(corpus)
-    # (role parity with the reference's streaming writer pipeline,
-    # ref: embed_utils.py:201-301, minus the process/thread queues).
     pending: Dict[int, List[np.ndarray]] = {}
+    buf: List[ContextFeatures] = []
 
     def flush_doc(did: int):
         parts = pending.pop(did)
@@ -118,7 +131,7 @@ def dump_phrases(
         doc_fe = np.concatenate([p[2] for p in parts], axis=0)
         codes, f2o = filter_and_quantize(
             doc_vecs, doc_fs, doc_fe, filter_threshold, offset, scale)
-        ctx = doc_ctxs[did]
+        ctx = doc_ctxs.pop(did)
         # word2char maps are per *token* position (ref: embed_utils.py:89-105):
         w2c_start = ctx.word_char_start[ctx.tok2word]
         w2c_end = ctx.word_char_end[ctx.tok2word]
@@ -130,10 +143,25 @@ def dump_phrases(
         )
         writer.add_doc(meta, codes)
 
-    n = len(all_feats)
+    done = False
     open_doc: Optional[int] = None
-    for b0 in range(0, n, batch_size):
-        chunk = all_feats[b0: b0 + batch_size]
+    peak_feats = peak_docs = 0
+    while True:
+        while not done and len(buf) < batch_size:
+            item = q.get()
+            if item is None:
+                done = True
+                break
+            if isinstance(item, BaseException):
+                raise item
+            did, doc_ctx, feats = item
+            doc_ctxs[did] = doc_ctx
+            buf.extend(feats)
+        if not buf:
+            break
+        peak_feats = max(peak_feats, len(buf))
+        peak_docs = max(peak_docs, len(doc_ctxs))
+        chunk, buf = buf[:batch_size], buf[batch_size:]
         ids = np.stack([f.input_ids for f in chunk])
         am = np.stack([f.attention_mask for f in chunk])
         tt = np.stack([f.token_type_ids for f in chunk])
@@ -156,6 +184,10 @@ def dump_phrases(
             open_doc = f.doc_id
     for did in list(pending):
         flush_doc(did)
+
+    if _stats is not None:
+        _stats["peak_buffered_features"] = peak_feats
+        _stats["peak_open_docs"] = peak_docs
 
     store = writer.finalize()
     logger.info("dumped %d docs, %d vectors to %s",

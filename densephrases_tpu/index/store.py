@@ -20,13 +20,20 @@ range. Consequences:
 - the flat array shards trivially across TPU HBM along rows via pjit.
 
 On disk a store is a directory:
-  vecs.int8            raw int8 [N, D] (memmap-able)
-  doc_bases.npy        int64 [num_docs + 1] prefix offsets into vecs
-  doc_ids.npy          int64 [num_docs] external document ids
-  meta.pkl             per-doc host metadata (zlib-compressed arrays/contexts,
-                       same role as meta_compressed.pkl,
-                       ref: scripts/preprocess/compress_metadata.py)
-  store.json           {n_vecs, dim, offset, scale, quant}
+  vecs.int8            raw int8 [N, D] (memmap-able), APPEND-ONLY during dump
+  meta.pkls            append-only stream of per-doc records
+                       (doc_id, n_vecs, compressed metadata) — the source of
+                       truth for resume; replaces per-group HDF5 appends
+                       (ref: embed_utils.py:227-249)
+  doc_bases.npy        int64 [num_docs + 1] prefix offsets into vecs (snapshot)
+  doc_ids.npy          int64 [num_docs] external document ids (snapshot)
+  store.json           {n_vecs, dim, offset, scale, quant} — written LAST by
+                       finalize(); acts as the commit marker
+
+Crash safety: vectors and metadata stream to disk per doc; a crash anywhere
+(including mid-finalize) leaves the stream files consistent up to the last
+complete doc record, and re-opening the directory truncates any partial
+vector tail and resumes appending — O(metadata) work, never O(corpus).
 """
 
 from __future__ import annotations
@@ -79,13 +86,39 @@ class DocMeta:
         )
 
 
+def _read_meta_stream(path: str):
+    """Read the append-only per-doc record stream. Tolerates a truncated
+    final record (crash mid-append): reading stops at the last complete one.
+
+    Returns (doc_ids, doc_bases, metas, good_end_offset)."""
+    doc_ids: List[int] = []
+    doc_bases: List[int] = [0]
+    metas: List[dict] = []
+    good_end = 0
+    if not os.path.exists(path):
+        return doc_ids, doc_bases, metas, good_end
+    with open(path, "rb") as f:
+        while True:
+            try:
+                doc_id, n_vecs, meta = pickle.load(f)
+            except Exception:  # noqa: BLE001 — EOF or partial tail record
+                break
+            doc_ids.append(int(doc_id))
+            doc_bases.append(doc_bases[-1] + int(n_vecs))
+            metas.append(meta)
+            good_end = f.tell()
+    return doc_ids, doc_bases, metas, good_end
+
+
 class StoreWriter:
     """Streaming, resumable store writer.
 
-    Append docs one at a time; ``finalize()`` writes the directory layout.
-    Resume semantics parity: re-opening an existing store dir and appending
-    skips docs already present (ref: generate_phrase_vecs.py:64-71,
-    embed_utils.py:227-233 replace-if-exists)."""
+    Vectors append straight to ``vecs.int8`` and per-doc metadata to the
+    ``meta.pkls`` record stream as each doc arrives — host RSS stays
+    O(compressed metadata), never O(vectors). Re-opening an existing store
+    dir resumes by reading the metadata stream and truncating any partial
+    vector tail; already-present docs are skipped
+    (ref: generate_phrase_vecs.py:64-71, embed_utils.py:227-249)."""
 
     def __init__(self, path: str, dim: int, offset: float = DEFAULT_OFFSET,
                  scale: float = DEFAULT_SCALE, quant: str = "int8"):
@@ -94,29 +127,71 @@ class StoreWriter:
         self.offset = offset
         self.scale = scale
         self.quant = quant
-        self._vec_chunks: List[np.ndarray] = []
-        self._doc_bases: List[int] = [0]
-        self._doc_ids: List[int] = []
-        self._metas: List[dict] = []
-        self._n = 0
         os.makedirs(path, exist_ok=True)
-        self._existing = set()
-        if os.path.exists(os.path.join(path, "store.json")):
-            prev = PhraseStore.load(path, mmap=True)
-            for i, did in enumerate(prev.doc_ids):
-                self.add_doc_raw(int(did), prev.vec_rows(i), prev.meta_compressed(i))
-            self._existing = set(self._doc_ids)
+        self._vec_path = os.path.join(path, "vecs.int8")
+        self._stream_path = os.path.join(path, "meta.pkls")
+
+        legacy_pkl = os.path.join(path, "meta.pkl")
+        if os.path.exists(legacy_pkl) and not os.path.exists(self._stream_path):
+            self._convert_legacy(legacy_pkl)
+
+        self._doc_ids, self._doc_bases, self._metas, stream_end = (
+            _read_meta_stream(self._stream_path))
+        if os.path.exists(self._stream_path) \
+                and os.path.getsize(self._stream_path) > stream_end:
+            os.truncate(self._stream_path, stream_end)  # drop partial record
+        self._n = self._doc_bases[-1]
+        # Truncate a partially-written vector tail back to the last complete
+        # doc boundary, then append from there.
+        want_bytes = self._n * self.dim
+        if os.path.exists(self._vec_path):
+            have = os.path.getsize(self._vec_path)
+            assert have >= want_bytes, (
+                f"vecs.int8 shorter ({have}) than metadata claims "
+                f"({want_bytes}) — store corrupted")
+            if have > want_bytes:
+                with open(self._vec_path, "r+b") as f:
+                    f.truncate(want_bytes)
+        self._vec_f = open(self._vec_path, "ab")
+        self._stream_f = open(self._stream_path, "ab")
+        self._existing = set(self._doc_ids)
+
+    def _convert_legacy(self, legacy_pkl: str):
+        """One-time upgrade of a round-1 store dir (monolithic meta.pkl) to
+        the append-only stream — reuses vecs.int8 as-is, no vector rewrite."""
+        with open(legacy_pkl, "rb") as f:
+            metas = pickle.load(f)
+        doc_bases = np.load(os.path.join(self.path, "doc_bases.npy"))
+        doc_ids = np.load(os.path.join(self.path, "doc_ids.npy"))
+        tmp = self._stream_path + ".tmp"
+        with open(tmp, "wb") as f:
+            for i, m in enumerate(metas):
+                n_vecs = int(doc_bases[i + 1] - doc_bases[i])
+                pickle.dump((int(doc_ids[i]), n_vecs, m), f,
+                            protocol=pickle.HIGHEST_PROTOCOL)
+        os.replace(tmp, self._stream_path)
+        os.remove(legacy_pkl)
 
     def has_doc(self, doc_id: int) -> bool:
         return doc_id in self._existing
 
+    @property
+    def n_vecs(self) -> int:
+        return self._n
+
     def add_doc_raw(self, doc_id: int, codes: np.ndarray, meta_compressed: dict):
         assert codes.dtype == np.int8 and codes.shape[1] == self.dim
-        self._vec_chunks.append(codes)
+        codes = np.ascontiguousarray(codes)
+        # vectors first, record second: a crash between the two leaves a
+        # vector tail that resume truncates
+        self._vec_f.write(codes.tobytes())
+        pickle.dump((int(doc_id), int(codes.shape[0]), meta_compressed),
+                    self._stream_f, protocol=pickle.HIGHEST_PROTOCOL)
         self._n += codes.shape[0]
         self._doc_bases.append(self._n)
-        self._doc_ids.append(doc_id)
+        self._doc_ids.append(int(doc_id))
         self._metas.append(meta_compressed)
+        self._existing.add(int(doc_id))
 
     def add_doc(self, meta: DocMeta, codes: np.ndarray):
         """codes: int8 [n_vecs, dim] already quantized start vectors."""
@@ -125,23 +200,29 @@ class StoreWriter:
         )
         self.add_doc_raw(meta.doc_id, codes, meta.compress())
 
-    def finalize(self) -> "PhraseStore":
-        from densephrases_tpu import native
+    def flush(self):
+        if not self._vec_f.closed:
+            self._vec_f.flush()
+        if not self._stream_f.closed:
+            self._stream_f.flush()
 
-        vecs = (np.concatenate(self._vec_chunks, axis=0)
-                if self._vec_chunks else np.zeros((0, self.dim), np.int8))
-        native.write_bytes(os.path.join(self.path, "vecs.int8"), vecs)
+    def finalize(self, mmap: bool = False) -> "PhraseStore":
+        """Snapshot the doc index + commit marker. Cheap (O(num_docs)) and
+        idempotent — the vector file is already on disk."""
+        self.flush()
+        if not self._vec_f.closed:
+            self._vec_f.close()
+        if not self._stream_f.closed:
+            self._stream_f.close()
         np.save(os.path.join(self.path, "doc_bases.npy"),
                 np.asarray(self._doc_bases, np.int64))
         np.save(os.path.join(self.path, "doc_ids.npy"),
                 np.asarray(self._doc_ids, np.int64))
-        with open(os.path.join(self.path, "meta.pkl"), "wb") as f:
-            pickle.dump(self._metas, f, protocol=pickle.HIGHEST_PROTOCOL)
         with open(os.path.join(self.path, "store.json"), "w") as f:
             json.dump({"n_vecs": int(self._n), "dim": self.dim,
                        "offset": self.offset, "scale": self.scale,
                        "quant": self.quant}, f)
-        return PhraseStore.load(self.path)
+        return PhraseStore.load(self.path, mmap=mmap)
 
 
 @dataclass
@@ -168,8 +249,13 @@ class PhraseStore:
             vecs = np.asarray(vecs)
         doc_bases = np.load(os.path.join(path, "doc_bases.npy"))
         doc_ids = np.load(os.path.join(path, "doc_ids.npy"))
-        with open(os.path.join(path, "meta.pkl"), "rb") as f:
-            metas = pickle.load(f)
+        legacy = os.path.join(path, "meta.pkl")
+        if os.path.exists(legacy):  # round-1 monolithic pickle
+            with open(legacy, "rb") as f:
+                metas = pickle.load(f)
+        else:
+            _, _, metas, _ = _read_meta_stream(os.path.join(path, "meta.pkls"))
+            metas = metas[:len(doc_ids)]
         return PhraseStore(vecs=vecs, doc_bases=doc_bases, doc_ids=doc_ids,
                            metas=metas, offset=info["offset"], scale=info["scale"])
 

@@ -132,3 +132,43 @@ def test_sentence_adjustment(setup):
     assert adj["context"].startswith("Second")
     assert adj["context"][adj["start_pos"]:adj["end_pos"]] == \
         each["context"][each["start_pos"]:each["end_pos"]]
+
+
+def test_dump_is_streaming(tmp_path, corpus, tokenizer):
+    """Host memory must stay O(batch + one open doc): features are produced
+    through a bounded queue, and vectors land on disk while later docs are
+    still being tokenized (ref streams per-doc appends,
+    embed_utils.py:201-301)."""
+    import os
+
+    cfg = BertConfig.tiny(vocab_size=tokenizer.vocab_size)
+    params = init_encoder_params(jax.random.PRNGKey(0), cfg)
+    # replicate the corpus into many small docs
+    many = []
+    for rep in range(12):
+        for d in corpus:
+            many.append({"doc_id": rep * 10 + d["doc_id"],
+                         "title": d["title"],
+                         "paragraphs": d["paragraphs"][:1]})
+    path = str(tmp_path / "stream_store")
+    vec_file = os.path.join(path, "vecs.int8")
+    bytes_when_pulled = []
+
+    def doc_gen():
+        for d in many:
+            bytes_when_pulled.append(
+                os.path.getsize(vec_file) if os.path.exists(vec_file) else 0)
+            yield d
+
+    stats = {}
+    store = dump_phrases(params, cfg, tokenizer, doc_gen(), path,
+                         max_seq_length=128, batch_size=4, attn_impl="xla",
+                         tokenize_ahead=2, _stats=stats)
+    assert store.num_docs == len(many)
+    # vectors were flushed to disk before the corpus was fully tokenized
+    assert bytes_when_pulled[-1] > 0, (
+        "no vector bytes on disk by the time the last doc was pulled — "
+        "dump is not streaming")
+    # feature buffer stayed O(batch + one doc), not O(corpus windows)
+    assert stats["peak_buffered_features"] < 4 + 16, stats
+    assert stats["peak_open_docs"] < len(many) // 2, stats

@@ -144,3 +144,106 @@ def test_flat_index_int4_quant():
     assert corr > 0.95, corr
     # the right cluster is found: top-1 int4 score close to top-1 int8
     np.testing.assert_allclose(v4[:, 0], v8[:, 0], rtol=0.1)
+
+
+def test_store_writer_streams_to_disk(tmp_path):
+    """Vectors must hit disk per add_doc (append-only), not at finalize —
+    the dump-at-Wikipedia-scale contract (ref streams per-doc HDF5 appends,
+    embed_utils.py:227-249)."""
+    import os
+
+    path = str(tmp_path / "store")
+    w = StoreWriter(path, 8)
+    rng = np.random.default_rng(0)
+    sizes = []
+    for d in range(4):
+        n = int(rng.integers(2, 6))
+        vecs = float_to_int8(rng.normal(-2, 1, (n, 8)).astype(np.float32))
+        meta = DocMeta(d, f"t{d}", "w " * n,
+                       np.arange(n, dtype=np.int32), np.arange(n, dtype=np.int32),
+                       np.arange(n, dtype=np.int32))
+        w.add_doc(meta, vecs)
+        w.flush()
+        sizes.append(os.path.getsize(os.path.join(path, "vecs.int8")))
+    assert sizes == sorted(sizes) and sizes[0] > 0 and sizes[-1] == w.n_vecs * 8
+    store = w.finalize()
+    assert store.n_vecs == w.n_vecs
+
+
+def test_store_resume_does_not_rewrite_vectors(tmp_path):
+    """Re-opening a store for resume must append, never replay or rewrite
+    existing vector bytes (O(metadata) resume)."""
+    import os
+
+    path = str(tmp_path / "store")
+    w = StoreWriter(path, 8)
+    v0 = float_to_int8(np.random.default_rng(1).normal(-2, 1, (5, 8)).astype(np.float32))
+    meta0 = DocMeta(0, "t0", "w w w w w", np.arange(5, dtype=np.int32),
+                    np.arange(5, dtype=np.int32), np.arange(5, dtype=np.int32))
+    w.add_doc(meta0, v0)
+    w.finalize()
+    before = os.stat(os.path.join(path, "vecs.int8"))
+
+    w2 = StoreWriter(path, 8)
+    assert w2.has_doc(0) and not w2.has_doc(1)
+    assert w2.n_vecs == 5
+    # first 5 rows untouched on disk (no rewrite)
+    v1 = float_to_int8(np.random.default_rng(2).normal(-2, 1, (3, 8)).astype(np.float32))
+    meta1 = DocMeta(1, "t1", "w w w", np.arange(3, dtype=np.int32),
+                    np.arange(3, dtype=np.int32), np.arange(3, dtype=np.int32))
+    w2.add_doc(meta1, v1)
+    store = w2.finalize()
+    assert store.num_docs == 2 and store.n_vecs == 8
+    np.testing.assert_array_equal(store.vec_rows(0), v0)
+    np.testing.assert_array_equal(store.vec_rows(1), v1)
+
+
+def test_store_crash_recovery_truncates_partial_tail(tmp_path):
+    """A crash after vector bytes but before the metadata record (or mid
+    record) must not corrupt the store: resume truncates to the last
+    complete doc."""
+    import os
+
+    path = str(tmp_path / "store")
+    w = StoreWriter(path, 8)
+    v0 = float_to_int8(np.random.default_rng(3).normal(-2, 1, (4, 8)).astype(np.float32))
+    meta0 = DocMeta(0, "t0", "w w w w", np.arange(4, dtype=np.int32),
+                    np.arange(4, dtype=np.int32), np.arange(4, dtype=np.int32))
+    w.add_doc(meta0, v0)
+    w.flush()
+    # simulate crash: orphan vector bytes + half a pickle record
+    with open(os.path.join(path, "vecs.int8"), "ab") as f:
+        f.write(b"\x01" * 20)
+    with open(os.path.join(path, "meta.pkls"), "ab") as f:
+        f.write(b"\x80\x04\x95")  # truncated pickle header
+    del w
+
+    w2 = StoreWriter(path, 8)
+    assert w2.n_vecs == 4
+    assert os.path.getsize(os.path.join(path, "vecs.int8")) == 4 * 8
+    store = w2.finalize()
+    np.testing.assert_array_equal(store.vec_rows(0), v0)
+
+
+def test_store_legacy_meta_pkl_upgrade(tmp_path):
+    """Round-1 stores (monolithic meta.pkl) upgrade in place on first
+    writer open, reusing vecs.int8 without a rewrite."""
+    import os
+    import pickle
+
+    store, raw = _make_store(tmp_path, n_docs=3)
+    path = str(tmp_path / "store")
+    # devolve to the legacy layout
+    _, _, metas = store.doc_bases, store.doc_ids, store.metas
+    with open(os.path.join(path, "meta.pkl"), "wb") as f:
+        pickle.dump(list(store.metas), f)
+    os.remove(os.path.join(path, "meta.pkls"))
+
+    w = StoreWriter(path, store.dim)
+    assert w.n_vecs == store.n_vecs
+    assert not os.path.exists(os.path.join(path, "meta.pkl"))
+    reloaded = w.finalize()
+    assert reloaded.num_docs == 3
+    for i in range(3):
+        np.testing.assert_array_equal(reloaded.vec_rows(i), store.vec_rows(i))
+        assert reloaded.meta(i).context == store.meta(i).context
