@@ -119,6 +119,69 @@ def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
     return out
 
 
+def _rescore_spans_host(query_start, query_end, s_gids, e_gids, s_scores,
+                        e_scores, gather_rows, f2o, doc_end_row, doc_base_row,
+                        offset, scale, *, max_answer_length: int,
+                        return_vecs: bool = False, n_total: int):
+    """Numpy twin of ``_rescore_spans`` for the host-tiered serve path: the
+    corpus lives in a memmap, so candidate windows (B·K·L rows) are gathered
+    through ``gather_rows`` and the einsum/argmax run on host — cheaper than
+    shipping windows to the device for this candidate count."""
+    L = max_answer_length
+    n = n_total
+
+    def windows(gids, offsets):
+        win = gids[..., None] + offsets  # [B, K, L]
+        wc = np.clip(win, 0, n - 1)
+        v = gather_rows(wc.reshape(-1)).reshape(wc.shape + (-1,))
+        v = v.astype(np.float32) / scale + offset
+        return win, wc, v
+
+    up = np.arange(L)
+    down = np.arange(-(L - 1), 1)
+    s_anchor = np.clip(s_gids, 0, n - 1)
+    e_anchor = np.clip(e_gids, 0, n - 1)
+
+    win_e, wc_e, evecs = windows(s_gids, up)
+    dist_e = f2o[wc_e] - f2o[s_anchor][..., None]
+    valid_e = (
+        (win_e < doc_end_row[s_anchor][..., None]) & (win_e >= 0)
+        & (dist_e >= 0) & (dist_e <= L))
+    e_part = np.einsum("bkld,bd->bkl", evecs, query_end)
+    joint_e = s_scores[..., None] + e_part + NEG_INF * (~valid_e)
+    best_e = np.argmax(joint_e, axis=-1)
+    best_e_score = np.max(joint_e, axis=-1)
+
+    win_s, wc_s, svecs = windows(e_gids, down)
+    dist_s = f2o[e_anchor][..., None] - f2o[wc_s]
+    valid_s = (
+        (win_s >= doc_base_row[e_anchor][..., None]) & (win_s >= 0)
+        & (dist_s >= 0) & (dist_s <= L))
+    s_part = np.einsum("bkld,bd->bkl", svecs, query_start)
+    joint_s = e_scores[..., None] + s_part + NEG_INF * (~valid_s)
+    best_s = np.argmax(joint_s, axis=-1)
+    best_s_score = np.max(joint_s, axis=-1)
+
+    out = {
+        "end_offset": best_e, "joint_from_start": best_e_score,
+        "start_offset": best_s - (L - 1), "joint_from_end": best_s_score,
+    }
+    if return_vecs:
+        bidx = np.arange(s_gids.shape[0])[:, None]
+        kidx = np.arange(s_gids.shape[1])[None, :]
+        out.update({
+            "end_vec_for_start": evecs[bidx, kidx, best_e],
+            "start_vec_anchor":
+                gather_rows(s_anchor.reshape(-1)).reshape(
+                    s_anchor.shape + (-1,)).astype(np.float32) / scale + offset,
+            "start_vec_for_end": svecs[bidx, kidx, best_s],
+            "end_vec_anchor":
+                gather_rows(e_anchor.reshape(-1)).reshape(
+                    e_anchor.shape + (-1,)).astype(np.float32) / scale + offset,
+        })
+    return out
+
+
 _SENT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"'(\[])")
 
 
@@ -138,7 +201,8 @@ class MIPS:
     """On-TPU phrase search engine (API parity with ref MIPS, index.py:23)."""
 
     def __init__(self, store: PhraseStore, index=None, rotation: Optional[np.ndarray] = None,
-                 mesh=None, shard_axis: str = "shard", collect_stats: bool = False):
+                 mesh=None, shard_axis: str = "shard", collect_stats: bool = False,
+                 preload_meta: bool = True):
         self.store = store
         self.collect_stats = collect_stats
         self.R = None if rotation is None else jnp.asarray(rotation, jnp.float32)
@@ -146,21 +210,18 @@ class MIPS:
             index = FlatIndex(np.asarray(store.vecs), store.offset, store.scale,
                               mesh=mesh, shard_axis=shard_axis)
         self.index = index
+        # Host-tiered mode (corpus > HBM): the index exposes a host row
+        # gather instead of a device-resident corpus buffer; stage 2 then
+        # gathers candidate windows on the host (B·K·L rows, tiny) and
+        # rescoring runs in numpy — no corpus-sized device arrays exist.
+        self.tiered = hasattr(index, "gather_rows_host")
 
-        # Parallel-decompress all doc metadata up front (native batch codec)
-        # — the serve-time metadata-on-RAM mode (ref: index.py:69-76).
-        store.preload_metas()
+        if preload_meta:
+            # Parallel-decompress all doc metadata up front (native batch
+            # codec) — serve-time metadata-on-RAM mode (ref: index.py:69-76).
+            store.preload_metas()
 
-        # Device-side global arrays for the rescore stage. When the flat
-        # index already holds the corpus on this device as a flat 2D buffer,
-        # share it (rescore clips row indices, so padding rows are harmless).
         n = store.n_vecs
-        idx_codes = getattr(index, "codes", None)
-        if (isinstance(index, FlatIndex) and index.mesh is None
-                and idx_codes is not None and idx_codes.ndim == 2):
-            self.vecs_dev = idx_codes
-        else:
-            self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
         f2o = np.zeros(n, np.int32)
         doc_end_row = np.zeros(n, np.int64)
         doc_base_row = np.zeros(n, np.int64)
@@ -170,9 +231,25 @@ class MIPS:
             f2o[b0:b1] = meta.f2o_start
             doc_end_row[b0:b1] = b1
             doc_base_row[b0:b1] = b0
-        self.f2o_dev = jnp.asarray(f2o)
-        self.doc_end_dev = jnp.asarray(doc_end_row)
-        self.doc_base_dev = jnp.asarray(doc_base_row)
+        if self.tiered:
+            self.vecs_dev = None
+            self.f2o_host = f2o
+            self.doc_end_host = doc_end_row
+            self.doc_base_host = doc_base_row
+        else:
+            # Device-side global arrays for the rescore stage. When the flat
+            # index already holds the corpus on this device as a flat 2D
+            # buffer, share it (rescore clips row indices, so padding rows
+            # are harmless).
+            idx_codes = getattr(index, "codes", None)
+            if (isinstance(index, FlatIndex) and index.mesh is None
+                    and idx_codes is not None and idx_codes.ndim == 2):
+                self.vecs_dev = idx_codes
+            else:
+                self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
+            self.f2o_dev = jnp.asarray(f2o)
+            self.doc_end_dev = jnp.asarray(doc_end_row)
+            self.doc_base_dev = jnp.asarray(doc_base_row)
         self.num_docs_list: List[float] = []
         # stage-timer decomposition (ref ad-hoc spans: index.py:194-218 etc.)
         self.timer = StageTimer()
@@ -216,6 +293,28 @@ class MIPS:
             qs = qs @ self.R
             qe = qe @ self.R
 
+        if self.tiered:
+            with self.timer.stage("rescore_host"):
+                s_gids, e_gids, s_scores, e_scores = jax.device_get(
+                    (s_gids, e_gids, s_scores, e_scores))
+                res = _rescore_spans_host(
+                    np.asarray(qs), np.asarray(qe),
+                    np.asarray(s_gids, np.int64), np.asarray(e_gids, np.int64),
+                    np.asarray(s_scores), np.asarray(e_scores),
+                    self.index.gather_rows_host, self.f2o_host,
+                    self.doc_end_host, self.doc_base_host,
+                    self.store.offset, self.store.scale,
+                    max_answer_length=max_answer_length,
+                    return_vecs=return_idxs, n_total=self.store.n_vecs)
+                if return_idxs and self.R is not None:
+                    rt = np.asarray(self.R).T
+                    for key in ("end_vec_for_start", "start_vec_anchor",
+                                "start_vec_for_end", "end_vec_anchor"):
+                        res[key] = res[key] @ rt
+            return self._assemble(res, np.asarray(s_gids), np.asarray(e_gids),
+                                  return_idxs=return_idxs,
+                                  return_sent=return_sent)
+
         with self.timer.stage("rescore_device"):
             res = _rescore_spans(
                 qs, qe,
@@ -225,6 +324,15 @@ class MIPS:
                 jnp.float32(self.store.offset), jnp.float32(self.store.scale),
                 max_answer_length=max_answer_length, return_vecs=return_idxs,
             )
+            if return_idxs and self.R is not None:
+                # Serve scores are (q·R)·c; hand query-side trainers vectors
+                # v = c·Rᵀ so the plain inner product q·v equals the serve
+                # score (ref rotates candidates into query space,
+                # index.py:338-345,380-389).
+                rt = self.R.T
+                for key in ("end_vec_for_start", "start_vec_anchor",
+                            "start_vec_for_end", "end_vec_anchor"):
+                    res[key] = res[key] @ rt
             # ONE bundled device→host transfer for everything stage 3 needs
             res, s_gids, e_gids = jax.device_get(
                 (res, jnp.asarray(s_gids), jnp.asarray(e_gids)))

@@ -1,0 +1,173 @@
+"""Host-tiered exact MIPS — serve corpora larger than one chip's HBM.
+
+The reference serves its 60–74 GB index from host RAM / on-disk FAISS
+invlists (ref: densephrases/index.py:28-30 IO_FLAG_ONDISK_SAME_DIR;
+build_phrase_index.py:282-338 OnDiskInvertedLists). The TPU equivalent is a
+two-tier scan:
+
+- **resident tier**: as many corpus rows as an HBM budget allows live on
+  device permanently and are scanned with the chunked MXU scan
+  (index/flat.py:_scan_topk).
+- **overflow tier**: the rest stays in the memory-mapped store file; at
+  query time fixed-size row blocks stream host→device, are scored for the
+  WHOLE query batch, and only each block's top-k survives on device. Upload
+  of block i+1 overlaps the (async-dispatched) scoring of block i — the
+  scan is bandwidth-bound, compute rides along free.
+
+Per-tier candidates merge exactly on device. Host RSS stays O(one block):
+the memmap pages stream through the page cache, nothing is ever
+materialized corpus-sized on the host.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from densephrases_tpu.index.flat import _round_up, _scan_topk
+from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
+from densephrases_tpu.ops.topk import topk_merge
+
+logger = logging.getLogger(__name__)
+
+NEG_INF = jnp.float32(-1e30)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _score_block(qbf, qsum, block, n_valid, scale, *, top_k: int):
+    """Score one streamed overflow block for the whole query batch.
+
+    qbf: [B, D] bf16 queries; qsum: [B] rank-1 dequant correction
+    (offset * sum(q)); block: [R, D] int8; n_valid: rows beyond are padding.
+    Returns (vals [B, K], local ids [B, K] int32)."""
+    s = jax.lax.dot_general(
+        qbf, block.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    s = s / scale + qsum[:, None]
+    cols = jnp.arange(block.shape[0], dtype=jnp.int32)[None, :]
+    s = jnp.where(cols < n_valid, s, NEG_INF)
+    k = min(top_k, block.shape[0])
+    vals, ids = jax.lax.top_k(s, k)
+    return vals, ids.astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _merge_candidates(vals, ids, *, top_k: int):
+    """vals/ids: [B, C] concatenated per-tier/per-block candidates."""
+    return topk_merge(vals[:, None, :], ids[:, None, :], top_k)
+
+
+class TieredFlatIndex:
+    """Exact MIPS over an int8 corpus split between HBM and host memmap.
+
+    codes: [N, D] int8 — typically ``PhraseStore.load(path, mmap=True).vecs``.
+    hbm_budget_bytes: resident-tier size cap (device buffer bytes).
+    block_rows: overflow streaming granularity (rows per host→device upload).
+    """
+
+    def __init__(self, codes, offset: float = DEFAULT_OFFSET,
+                 scale: float = DEFAULT_SCALE, *,
+                 hbm_budget_bytes: int = 8 << 30,
+                 block_rows: int = 1 << 20,
+                 chunk: int = 4096):
+        assert codes.dtype == np.int8
+        self.n_total, self.dim = codes.shape
+        self.offset = float(offset)
+        self.scale = float(scale)
+        self.mesh = None  # API parity with FlatIndex
+        self.quant = "int8"
+
+        max_resident = max(int(hbm_budget_bytes // self.dim), 0)
+        chunk = min(chunk, max(8, _round_up(max(self.n_total, 1), 8)))
+        self.chunk = chunk
+        n_resident = min(self.n_total, max_resident)
+        n_resident = (n_resident // chunk) * chunk  # whole chunks only
+        if n_resident == 0 and self.n_total > 0 and max_resident >= self.n_total:
+            n_resident = self.n_total
+        self.n_resident = n_resident
+        self.block_rows = int(block_rows)
+
+        if n_resident > 0:
+            rows = _round_up(n_resident, chunk)
+            padded = np.zeros((rows, self.dim), np.int8)
+            padded[:n_resident] = np.asarray(codes[:n_resident])
+            self.codes = jax.device_put(padded)  # resident tier (shared w/ rescore)
+        else:
+            self.codes = None
+        self._overflow = codes  # keep the memmap; slices page in on demand
+        logger.info(
+            "tiered index: %d rows resident (%.2f GB HBM), %d rows host-tier",
+            n_resident, n_resident * self.dim / 2**30, self.n_total - n_resident)
+
+    def search(self, queries, top_k: int = 10, nprobe: int = 0,
+               as_numpy: bool = True):
+        """queries: [B, D] f32 → (scores [B, K], global row ids [B, K]).
+        nprobe accepted for API uniformity and ignored (exact scan)."""
+        queries = jnp.asarray(queries, jnp.float32)
+        k = min(top_k, max(self.n_total, 1))
+        qsum = queries.sum(-1) * self.offset
+        qbf = queries.astype(jnp.bfloat16)
+
+        cand_vals = []
+        cand_ids = []
+        if self.n_resident > 0:
+            vals, ids = _scan_topk(
+                queries, self.codes, jnp.int32(self.n_resident),
+                self.offset, self.scale,
+                top_k=min(k, self.n_resident), chunk=self.chunk)
+            cand_vals.append(vals)
+            cand_ids.append(ids)  # int32: single-chip corpus < 2^31 rows
+
+        n_over = self.n_total - self.n_resident
+        if n_over > 0:
+            br = self.block_rows
+            n_blocks = (n_over + br - 1) // br
+            # pre-issue the first upload, then overlap upload(i+1) w/ score(i)
+            nxt = self._upload_block(0)
+            for i in range(n_blocks):
+                block, n_valid = nxt
+                nxt = self._upload_block(i + 1) if i + 1 < n_blocks else None
+                vals, ids = _score_block(qbf, qsum, block, n_valid,
+                                         jnp.float32(self.scale),
+                                         top_k=min(k, br))
+                base = self.n_resident + i * br
+                cand_vals.append(vals)
+                cand_ids.append(ids + jnp.int32(base))
+
+        all_vals = jnp.concatenate(cand_vals, axis=1)
+        all_ids = jnp.concatenate(cand_ids, axis=1)
+        vals, ids = _merge_candidates(all_vals, all_ids, top_k=k)
+        if k < top_k:
+            pad = top_k - k
+            vals = jnp.concatenate(
+                [vals, jnp.full((vals.shape[0], pad), NEG_INF)], -1)
+            ids = jnp.concatenate(
+                [ids, jnp.zeros((ids.shape[0], pad), ids.dtype)], -1)
+        if as_numpy:
+            return np.asarray(vals), np.asarray(ids)
+        return vals, ids
+
+    def _upload_block(self, i: int):
+        """device_put one overflow block (async); returns (block, n_valid)."""
+        br = self.block_rows
+        lo = self.n_resident + i * br
+        hi = min(lo + br, self.n_total)
+        rows = np.asarray(self._overflow[lo:hi])
+        n_valid = rows.shape[0]
+        if n_valid < br:  # pad the tail block to the static jit shape
+            rows = np.concatenate(
+                [rows, np.zeros((br - n_valid, self.dim), np.int8)])
+        return jax.device_put(rows), jnp.int32(n_valid)
+
+    # -- position-addressable access for the rescore stage ------------------
+    def gather_rows_host(self, gids: np.ndarray) -> np.ndarray:
+        """int8 rows for arbitrary global ids (host memmap gather) — used by
+        the tiered rescore path (B·K·L rows, tiny)."""
+        return np.asarray(self._overflow[np.clip(gids, 0, self.n_total - 1)])

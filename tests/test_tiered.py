@@ -1,0 +1,111 @@
+"""Host-tiered serving: corpora larger than the device budget must return
+the same results as the fully HBM-resident path."""
+
+import numpy as np
+import pytest
+
+from densephrases_tpu.index.flat import FlatIndex
+from densephrases_tpu.index.search import MIPS
+from densephrases_tpu.index.store import DocMeta, StoreWriter
+from densephrases_tpu.index.tiered import TieredFlatIndex
+from densephrases_tpu.ops.quant import float_to_int8
+
+
+def _corpus(n=5000, d=64, seed=0):
+    rng = np.random.default_rng(seed)
+    vecs = rng.normal(-2, 1, (n, d)).astype(np.float32)
+    return float_to_int8(vecs)
+
+
+@pytest.mark.parametrize("budget_rows", [0, 512, 3000, 10**9])
+def test_tiered_matches_flat(budget_rows):
+    codes = _corpus()
+    d = codes.shape[1]
+    rng = np.random.default_rng(1)
+    queries = rng.normal(size=(7, d)).astype(np.float32)
+
+    flat = FlatIndex(codes, chunk=512)
+    tiered = TieredFlatIndex(codes, hbm_budget_bytes=budget_rows * d,
+                             block_rows=700, chunk=512)
+    fv, fi = flat.search(queries, top_k=9)
+    tv, ti = tiered.search(queries, top_k=9)
+    # same scoring math on both paths → ids identical except ties
+    np.testing.assert_allclose(np.sort(tv, -1), np.sort(fv, -1),
+                               rtol=1e-3, atol=1e-3)
+    overlap = np.mean([
+        len(set(fi[i].tolist()) & set(ti[i].tolist())) / fi.shape[1]
+        for i in range(fi.shape[0])])
+    assert overlap > 0.85, f"id overlap {overlap}"
+
+
+def test_tiered_everything_in_overflow():
+    codes = _corpus(n=1000)
+    tiered = TieredFlatIndex(codes, hbm_budget_bytes=0, block_rows=128)
+    assert tiered.n_resident == 0
+    queries = np.random.default_rng(2).normal(
+        size=(3, codes.shape[1])).astype(np.float32)
+    vals, ids = tiered.search(queries, top_k=5)
+    # exact per-block top_k + exact merge == exact brute force
+    floats = codes.astype(np.float32) / 20.0 + (-2.0) * 0  # scale only
+    # use the index's own dequant contract
+    scores = (queries @ codes.T.astype(np.float32)) / 20.0 \
+        + (-2.0) * queries.sum(-1, keepdims=True)
+    want = np.sort(scores, axis=-1)[:, ::-1][:, :5]
+    np.testing.assert_allclose(np.sort(vals, -1)[:, ::-1], want,
+                               rtol=2e-2, atol=2e-2)
+
+
+def _tiny_store(tmp_path, n_docs=6, dim=32, seed=3):
+    rng = np.random.default_rng(seed)
+    w = StoreWriter(str(tmp_path / "st"), dim)
+    for d in range(n_docs):
+        nv = int(rng.integers(6, 20))
+        vecs = rng.normal(-2, 1, (nv, dim)).astype(np.float32)
+        meta = DocMeta(
+            doc_id=d, title=f"doc{d}",
+            context=" ".join(f"w{i}" for i in range(nv)),
+            word2char_start=np.arange(nv, dtype=np.int32) * 3,
+            word2char_end=np.arange(nv, dtype=np.int32) * 3 + 2,
+            f2o_start=np.arange(nv, dtype=np.int32),
+        )
+        w.add_doc(meta, float_to_int8(vecs))
+    return w.finalize(mmap=True)
+
+
+def test_tiered_mips_two_stage_matches_resident(tmp_path):
+    store = _tiny_store(tmp_path)
+    d = store.dim
+    rng = np.random.default_rng(4)
+    qvec = rng.normal(size=(3, 2 * d)).astype(np.float32)
+
+    mips_flat = MIPS(store)
+    tiered_idx = TieredFlatIndex(
+        np.asarray(store.vecs), store.offset, store.scale,
+        hbm_budget_bytes=0, block_rows=16)
+    mips_tiered = MIPS(store, index=tiered_idx)
+    assert mips_tiered.tiered and mips_tiered.vecs_dev is None
+
+    out_a = mips_flat.search(qvec, top_k=4, aggregate=False)
+    out_b = mips_tiered.search(qvec, top_k=4, aggregate=False)
+    for ra, rb in zip(out_a, out_b):
+        ans_a = [(r["doc_idx"], r["start_pos"], r["end_pos"]) for r in ra]
+        ans_b = [(r["doc_idx"], r["start_pos"], r["end_pos"]) for r in rb]
+        # same candidates modulo score ties
+        assert len(set(ans_a) & set(ans_b)) >= max(1, len(ans_a) - 1)
+        for r_a, r_b in zip(ra, rb):
+            assert abs(r_a["score"] - r_b["score"]) < 0.2
+
+
+def test_tiered_mips_return_idxs_vectors(tmp_path):
+    store = _tiny_store(tmp_path, seed=9)
+    tiered_idx = TieredFlatIndex(
+        np.asarray(store.vecs), store.offset, store.scale,
+        hbm_budget_bytes=0, block_rows=16)
+    mips = MIPS(store, index=tiered_idx)
+    d = store.dim
+    qvec = np.random.default_rng(5).normal(size=(2, 2 * d)).astype(np.float32)
+    out = mips.search(qvec, top_k=3, aggregate=False, return_idxs=True)
+    for ret in out:
+        for r in ret:
+            assert r["start_vec"] is not None and r["start_vec"].shape == (d,)
+            assert np.isfinite(r["start_vec"]).all()
