@@ -39,7 +39,10 @@ import numpy as np
 from densephrases_tpu.ops.kmeans import (
     accumulate_blocks,
     assign_blocks,
+    assign_blocks_hier,
     kmeans,
+    kmeans_two_level,
+    sort_children,
 )
 from densephrases_tpu.ops.opq import OPQ, train_opq
 from densephrases_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, train_pq
@@ -256,6 +259,51 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
     return centroids, assign
 
 
+def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
+                        l1_cents: np.ndarray, assign: np.ndarray,
+                        balance_factor: float = 4.0, rounds: int = 3,
+                        seed: int = 0, probe: int = 8, verbose: bool = False,
+                        offset: float = 0.0, scale: float = 1.0):
+    """Oversized-list splitting for the two-level quantizer: seed extra
+    centroids from members of long lists, re-sort ALL children under their
+    nearest level-1 parent, and reassign hierarchically (no O(N·k) pass).
+    Returns (sorted centroids, l1_cents, parent_offsets, assign)."""
+    import logging
+
+    quant = x.dtype == np.int8
+
+    def deq(rows):
+        return rows.astype(np.float32) / scale + offset if quant \
+            else rows.astype(np.float32)
+
+    rng = np.random.default_rng(seed + 7)
+    parent_offs = None
+    for _ in range(rounds):
+        k = centroids.shape[0]
+        counts = np.bincount(assign, minlength=k)
+        cap = balance_factor * max(len(x) / k, 1.0)
+        oversized = np.nonzero(counts > cap)[0]
+        if len(oversized) == 0 and parent_offs is not None:
+            break
+        new_cents = [centroids]
+        for li in oversized:
+            members = np.nonzero(assign == li)[0]
+            n_extra = int(np.ceil(counts[li] / cap)) - 1
+            picks = rng.choice(members, size=min(n_extra, len(members)),
+                               replace=False)
+            new_cents.append(deq(x[picks]))
+        centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
+        centroids, parent_offs, _ = sort_children(centroids, l1_cents)
+        assign = assign_blocks_hier(x, l1_cents, centroids, parent_offs,
+                                    probe=probe, offset=offset, scale=scale)
+        if verbose:
+            logging.getLogger(__name__).info(
+                "hier balance round: k %d→%d, max list %d", k,
+                centroids.shape[0],
+                int(np.bincount(assign, minlength=centroids.shape[0]).max()))
+    return centroids, l1_cents, parent_offs, assign
+
+
 @dataclass
 class IVFConfig:
     num_clusters: int = 1024
@@ -280,6 +328,13 @@ class IVFConfig:
     prefer_union_batch: int = 4
     # lists longer than balance_factor * mean are split at build time
     balance_factor: float = 4.0
+    # at num_clusters >= this, train the coarse quantizer with two-level
+    # k-means and assign hierarchically — O(N·(√k + probe·cap)) instead of
+    # O(N·k), which is what makes nlist = 10^5..10^6 feasible (the reference
+    # builds 1,048,576 clusters, ref: README.md:330)
+    two_level_clusters: int = 8192
+    # parents probed during hierarchical assignment (accuracy/speed knob)
+    assign_probe: int = 8
 
 
 class IVFIndex:
@@ -341,28 +396,44 @@ class IVFIndex:
             if len(kept) >= cfg.num_clusters:
                 sample = kept
 
-        centroids, _ = kmeans(sample, cfg.num_clusters, iters=cfg.kmeans_iters,
-                              seed=cfg.seed, verbose=verbose,
-                              chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)))
-
-        # --- coarse assignment by L2 (consistent with the k-means objective,
+        # --- coarse quantizer. Flat Lloyd for moderate nlist; two-level
+        # hierarchical k-means at reference scale (nlist up to 2^20,
+        # ref: README.md:330) where a flat [N, k] pass is infeasible.
+        # Coarse assignment is by L2 (consistent with the k-means objective,
         # so lists stay balanced; the reference's IndexFlatIP add-time
         # assignment is skew-prone when centroids are correlated). Probing
         # remains max-inner-product over centroids (ref: index.py:53,62).
-        # full-corpus passes ship the RAW int8 codes (4x less upload than
-        # f32; L2 assignment is affine-equivariant, see ops/kmeans)
-        assign = assign_blocks(codes_int8, centroids, chunk=2048,
-                               offset=offset, scale=scale)
+        # Full-corpus passes ship the RAW int8 codes (4x less upload than
+        # f32; L2 assignment is affine-equivariant, see ops/kmeans).
+        if cfg.num_clusters >= cfg.two_level_clusters:
+            centroids, l1_cents, parent_offs = kmeans_two_level(
+                sample, cfg.num_clusters, iters=cfg.kmeans_iters,
+                seed=cfg.seed, verbose=verbose)
+            assign = assign_blocks_hier(
+                codes_int8, l1_cents, centroids, parent_offs,
+                probe=cfg.assign_probe, offset=offset, scale=scale)
+            centroids, _, _, assign = _balance_lists_hier(
+                codes_int8, centroids, l1_cents, assign,
+                balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
+                probe=cfg.assign_probe, verbose=verbose, offset=offset,
+                scale=scale)
+        else:
+            centroids, _ = kmeans(
+                sample, cfg.num_clusters, iters=cfg.kmeans_iters,
+                seed=cfg.seed, verbose=verbose,
+                chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)))
+            assign = assign_blocks(codes_int8, centroids, chunk=2048,
+                                   offset=offset, scale=scale)
 
-        # --- balance: split oversized lists by seeding extra centroids from
-        # their members and re-running Lloyd. Bounded list length is what
-        # makes the fixed-cap TPU scan bandwidth-efficient (no FAISS analog
-        # needed there: CPU scans tolerate ragged lists, our MXU scan wants
-        # uniform tiles).
-        centroids, assign = _balance_lists(
-            codes_int8, centroids, assign, balance_factor=cfg.balance_factor,
-            rounds=3, seed=cfg.seed, verbose=verbose, offset=offset,
-            scale=scale)
+            # --- balance: split oversized lists by seeding extra centroids
+            # from their members and re-running Lloyd. Bounded list length is
+            # what makes the fixed-cap TPU scan bandwidth-efficient (no FAISS
+            # analog needed there: CPU scans tolerate ragged lists, our MXU
+            # scan wants uniform tiles).
+            centroids, assign = _balance_lists(
+                codes_int8, centroids, assign,
+                balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
+                verbose=verbose, offset=offset, scale=scale)
 
         # --- fine quantization
         rotation = None

@@ -142,16 +142,29 @@ def assign_blocks(x: np.ndarray, centroids: np.ndarray,
 
 
 def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
-           chunk: int = 4096, verbose: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+           chunk: int = 4096, verbose: bool = False,
+           rounded: bool = False) -> Tuple[np.ndarray, np.ndarray]:
     """Train k centroids. Returns (centroids [k, D] f32, assignments [N] i32).
 
     Host-side driver: per-iteration device work is jitted and streamed in
     host blocks (device memory O(block), not O(corpus)); empty-cluster
     re-seeding happens between iterations on the host (rare path).
+
+    rounded=True pads the data to a power-of-two length by resampling
+    existing rows, so repeated calls at many nearby sizes (the two-level
+    sub-clustering loop) share compiled programs instead of recompiling
+    per shape. Duplicated rows get double weight — harmless for training
+    a quantizer.
     """
     n, d = x.shape
+    n_orig = n
     assert n >= k, f"need at least k={k} points, got {n}"
     rng = np.random.default_rng(seed)
+    if rounded:
+        n_pad = max(1 << int(np.ceil(np.log2(max(n, 512)))), k)
+        if n_pad > n:
+            x = np.concatenate([x, x[rng.integers(0, n, size=n_pad - n)]])
+            n = n_pad
     centroids = np.asarray(x[rng.choice(n, size=k, replace=False)], np.float32)
 
     for it in range(iters):
@@ -165,4 +178,186 @@ def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
             logger.info("kmeans iter %d: cost=%.1f empty=%d", it, float(cost), n_empty)
 
     assigns = assign_blocks(x, centroids, chunk=chunk)
-    return centroids, assigns
+    return centroids, assigns[:n_orig]
+
+
+# --------------------------------------------------------------------------
+# Two-level (hierarchical) k-means — the coarse quantizer at reference scale.
+#
+# The reference trains nlist = 1,048,576 coarse centroids (ref: README.md:330,
+# index name `1048576_flat_OPQ96`); FAISS handles huge nlist with two-level
+# clustering. A flat Lloyd at k=10^6 is infeasible on TPU too: the one-hot
+# update is O(chunk × k) and a full assignment pass is an [N, k] matmul per
+# iteration. Instead:
+#
+#   level 1: k1 ≈ √k parent centroids, flat Lloyd on the sample
+#   level 2: each parent's members clustered into ⌈k·n_i/N⌉ children
+#            (bucketed sizes so the sub-runs share compiled programs)
+#
+# The k children, sorted by parent, ARE the coarse centroids. Full-corpus
+# assignment is hierarchical: probe the k1 parents (one small matmul), then
+# scan only the probed parents' child ranges — O(N·(k1 + probe·cap)) instead
+# of O(N·k). Children-sorted-contiguous is the same layout trick the IVF
+# lists use, so the probe scan is contiguous DMA.
+# --------------------------------------------------------------------------
+
+
+def sort_children(centroids: np.ndarray, l1_centroids: np.ndarray):
+    """Assign each centroid to its nearest (L2) level-1 parent and sort.
+
+    Returns (sorted_centroids [K, D], parent_offsets [k1+1] i32,
+    order [K] — sorted position → original centroid index)."""
+    parent = assign_blocks(centroids.astype(np.float32), l1_centroids)
+    order = np.argsort(parent, kind="stable")
+    offsets = np.searchsorted(
+        parent[order], np.arange(l1_centroids.shape[0] + 1)).astype(np.int32)
+    return centroids[order], offsets, order
+
+
+def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
+                     k1: Optional[int] = None, sub_iters: int = 5,
+                     verbose: bool = False):
+    """Train ~k centroids hierarchically. Returns
+    (centroids [K, D] f32 sorted by parent, l1_centroids [k1', D],
+    parent_offsets [k1'+1]) — K may differ slightly from k (bucketed child
+    counts), and parents that end up with zero children are dropped.
+    """
+    n, d = x.shape
+    if k1 is None:
+        k1 = int(np.clip(2 ** int(round(np.log2(max(np.sqrt(k), 2)))), 16, 4096))
+    k1 = min(k1, max(n // 8, 1))
+    x = x.astype(np.float32, copy=False)
+    l1, assign = kmeans(x, k1, iters=iters, seed=seed,
+                        chunk=min(4096, _BLOCK))
+    counts = np.bincount(assign, minlength=k1).astype(np.float64)
+
+    # proportional child budget, bucketed to multiples of 8 (shared compiles)
+    raw = k * counts / max(counts.sum(), 1.0)
+    k2 = np.maximum(np.round(raw / 8.0) * 8, (counts > 0) * 1).astype(np.int64)
+    k2 = np.minimum(k2, counts.astype(np.int64))
+
+    rng = np.random.default_rng(seed + 13)
+    children = []
+    parents_kept = []
+    for p in np.nonzero(k2 > 0)[0]:
+        members = x[assign == p]
+        kp = int(k2[p])
+        if kp >= len(members):  # degenerate: every member is a centroid
+            children.append(members.astype(np.float32))
+        elif kp <= 1:
+            children.append(members.mean(0, keepdims=True).astype(np.float32))
+        else:
+            c, _ = kmeans(members, kp, iters=sub_iters, seed=seed + 31 + int(p),
+                          chunk=1024, rounded=True)
+            children.append(c)
+        parents_kept.append(p)
+    if verbose:
+        logger.info("two-level kmeans: k1=%d parents, %d children total",
+                    len(parents_kept), sum(len(c) for c in children))
+
+    l1_kept = l1[np.asarray(parents_kept)]
+    cents = np.concatenate(children, axis=0).astype(np.float32)
+    offsets = np.zeros(len(parents_kept) + 1, np.int32)
+    np.cumsum([len(c) for c in children], out=offsets[1:])
+    return cents, l1_kept, offsets
+
+
+@functools.partial(jax.jit, static_argnames=("probe", "cap", "chunk"))
+def _assign_hier(x, l1, cents_pad, c_sq_pad, offsets, *,
+                 probe: int, cap: int, chunk: int):
+    """Hierarchical nearest-centroid assignment of one device block.
+
+    x [n, d] (n multiple of chunk), l1 [k1, d], cents_pad [K+cap, d]
+    (child-sorted centroids padded with cap zero rows), c_sq_pad [K+cap]
+    (‖c‖², +inf on pad rows), offsets [k1+1]. Returns int32 [n] indices into
+    the *sorted* centroid array."""
+    n, d = x.shape
+    l1_sq = jnp.sum(l1.astype(jnp.float32) ** 2, axis=1)
+    l1_bf = l1.astype(jnp.bfloat16)
+    cents_bf = cents_pad.astype(jnp.bfloat16)
+    col = jnp.arange(cap, dtype=jnp.int32)
+
+    def body(_, xb):
+        dots = jax.lax.dot_general(
+            xb.astype(jnp.bfloat16), l1_bf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        l1_dist = l1_sq[None, :] - 2.0 * dots
+        _, parents = jax.lax.top_k(-l1_dist, probe)  # [chunk, probe]
+
+        xbf = xb.astype(jnp.bfloat16)
+
+        def probe_step(carry, pi):
+            best_d, best_i = carry
+            par = parents[:, pi]  # [chunk]
+            offs = offsets[par]
+            lens = offsets[par + 1] - offs
+            cand = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(cents_bf, (o, 0), (cap, d))
+            )(offs)  # [chunk, cap, d]
+            csq = jax.vmap(
+                lambda o: jax.lax.dynamic_slice(c_sq_pad, (o,), (cap,))
+            )(offs)  # [chunk, cap]
+            dots2 = jnp.einsum("cd,ckd->ck", xbf, cand,
+                               preferred_element_type=jnp.float32)
+            dist = csq - 2.0 * dots2
+            dist = jnp.where(col[None, :] < lens[:, None], dist, jnp.inf)
+            j = jnp.argmin(dist, axis=1)
+            dmin = jnp.take_along_axis(dist, j[:, None], axis=1)[:, 0]
+            gid = offs + j.astype(jnp.int32)
+            take = dmin < best_d
+            return (jnp.where(take, dmin, best_d),
+                    jnp.where(take, gid, best_i)), None
+
+        init = (jnp.full((chunk,), jnp.inf, jnp.float32),
+                jnp.zeros((chunk,), jnp.int32))
+        (best_d, best_i), _ = jax.lax.scan(probe_step, init, jnp.arange(probe))
+        return None, best_i
+
+    _, out = jax.lax.scan(body, None, x.reshape(n // chunk, chunk, d))
+    return out.reshape(-1)
+
+
+def assign_blocks_hier(x: np.ndarray, l1: np.ndarray, centroids: np.ndarray,
+                       offsets: np.ndarray, probe: int = 8,
+                       chunk: int = 2048, block: int = _BLOCK,
+                       offset: float = 0.0, scale: float = 1.0) -> np.ndarray:
+    """Streamed hierarchical assignment over host-resident data (f32, or int8
+    shipped raw with (offset, scale) dequant: L2 distances to transformed
+    centroids c' = (c-offset)·scale are a uniform scale² of the true ones, so
+    the argmin is identical). Returns int32 [N] indices into the sorted
+    centroid array."""
+    n = x.shape[0]
+    quant = x.dtype == np.int8
+    tf = (lambda c: ((c - offset) * scale).astype(np.float32)) if quant \
+        else (lambda c: c.astype(np.float32))
+    lens = np.diff(offsets)
+    cap = int(_round_up_mult(max(int(lens.max()), 8), 8))
+    k = centroids.shape[0]
+    cents_pad = np.concatenate(
+        [tf(centroids), np.zeros((cap, centroids.shape[1]), np.float32)])
+    c_sq_pad = np.concatenate(
+        [np.sum(cents_pad[:k] ** 2, axis=1),
+         np.full(cap, np.inf, np.float32)])
+    probe = min(probe, len(offsets) - 1)
+
+    l1_dev = jnp.asarray(tf(l1))
+    cents_dev = jnp.asarray(cents_pad)
+    csq_dev = jnp.asarray(c_sq_pad)
+    offs_dev = jnp.asarray(offsets.astype(np.int32))
+    out = np.empty(n, np.int32)
+    for b0 in range(0, n, block):
+        xb = np.ascontiguousarray(x[b0:b0 + block])
+        m = len(xb)
+        ck = min(chunk, max(_round_up_mult(m, 8), 8))
+        pad = (-m) % ck
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad,) + xb.shape[1:], xb.dtype)])
+        a = _assign_hier(jnp.asarray(xb), l1_dev, cents_dev, csq_dev,
+                         offs_dev, probe=probe, cap=cap, chunk=ck)
+        out[b0:b0 + m] = np.asarray(a)[:m]
+    return out
+
+
+def _round_up_mult(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m

@@ -126,6 +126,43 @@ def test_ivf_full_probe_sq8_is_near_exact():
     np.testing.assert_allclose(np.sort(iv, 1), np.sort(ev, 1), atol=0.2)
 
 
+def test_two_level_kmeans_matches_flat_assignment():
+    """Hierarchical assignment must agree with the exact flat argmin."""
+    from densephrases_tpu.ops.kmeans import (
+        assign_blocks,
+        assign_blocks_hier,
+        kmeans_two_level,
+    )
+
+    x = _clustered_data(8000, 32, n_clusters=100, seed=20)
+    cents, l1, offs = kmeans_two_level(x, k=128, iters=4, seed=0)
+    assert offs[-1] == len(cents) and len(offs) == len(l1) + 1
+    a_h = assign_blocks_hier(x, l1, cents, offs, probe=8)
+    a_f = assign_blocks(x, cents)
+    assert (a_h == a_f).mean() >= 0.99
+
+
+def test_ivf_two_level_recall_vs_exact():
+    """The hierarchical build path (nlist >= two_level_clusters) must hit the
+    same recall bar as the flat-trained quantizer."""
+    x = _clustered_data(12000, 64, n_clusters=200, seed=21)
+    codes = float_to_int8(x)
+    queries = _clustered_data(16, 64, n_clusters=200, seed=22)
+
+    flat = FlatIndex(codes, chunk=512)
+    _, exact_ids = flat.search(queries, top_k=10)
+
+    cfg = IVFConfig(num_clusters=256, fine_quant="SQ8", kmeans_iters=4,
+                    two_level_clusters=64)  # force the two-level path
+    ivf = IVFIndex.build(codes, cfg)
+    _, ivf_ids = ivf.search(queries, top_k=10, nprobe=64)
+    recall = np.mean([
+        len(set(e.tolist()) & set(i.tolist())) / 10
+        for e, i in zip(exact_ids, ivf_ids)
+    ])
+    assert recall >= 0.9, f"two-level recall@10 {recall}"
+
+
 def test_ivf_save_load_round_trip(tmp_path):
     x = _clustered_data(1000, 32, seed=8)
     codes = float_to_int8(x)
