@@ -45,7 +45,13 @@ from densephrases_tpu.ops.kmeans import (
     sort_children,
 )
 from densephrases_tpu.ops.opq import OPQ, train_opq
-from densephrases_tpu.ops.pq import PQCodebook, pq_encode, pq_lut, train_pq
+from densephrases_tpu.ops.pq import (
+    PQCodebook,
+    codes_to_onehot,
+    pq_encode,
+    pq_lut,
+    train_pq,
+)
 from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
 from densephrases_tpu.ops.topk import topk_merge
 
@@ -138,60 +144,91 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     return vals, gids
 
 
-@functools.partial(jax.jit, static_argnames=("top_k", "refine_factor"))
-def _union_score(q_rot, q_raw, rows, row_list, member, codes, row_perm,
-                 pq_books, refine_codes, offset, scale, *, top_k: int,
-                 refine_factor: int):
-    b = q_rot.shape[0]
-    u = rows.shape[0]
-    chunk = min(u, 16384)
-    n_chunks = u // chunk
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "nprobe", "cap", "group",
+                                    "scan_k"))
+def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
+                pq_books, refine_codes, offset, scale, *, top_k: int,
+                nprobe: int, cap: int, group: int, scan_k: int):
+    """Batched union scan, entirely on device (no host round-trips).
+
+    Probe all queries, dedupe the probed lists with a device sort (duplicates
+    become an nlist sentinel that sorts last), then scan the unique lists in
+    groups: per group one contiguous dynamic-slice DMA per list, ONE shared
+    score matmul for the whole query batch, and per-query masking down to the
+    lists that query actually probed. Bandwidth is paid once per unique list
+    instead of once per (query, probe) pair — the whole point of the union
+    formulation — and nothing syncs to the host."""
+    b, d = q_raw.shape
+    nlist = centroids.shape[0]
     is_pq = pq_books is not None
     do_refine = is_pq and refine_codes is not None
-    scan_k = top_k * refine_factor if do_refine else top_k
+
+    # ---- probe (max inner product over centroids, ref: index.py:53,62)
+    c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
+                          centroids.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, P] int32
+
+    # ---- device dedup: sort, sentinel out duplicates, uniques sort first
+    flat = jnp.sort(probe_ids.reshape(-1))
+    keep = jnp.concatenate(
+        [jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    uniq = jnp.sort(jnp.where(keep, flat, nlist))
+    n_slots = b * nprobe
+    pad = (-n_slots) % group
+    if pad:
+        uniq = jnp.concatenate([uniq, jnp.full((pad,), nlist, uniq.dtype)])
+    n_groups = (n_slots + pad) // group
+
     if is_pq:
-        lut = pq_lut(pq_books, q_rot).astype(jnp.bfloat16)  # [B, M, K]
-        m = lut.shape[1]
-        flat_lut = lut.reshape(b, m * 256)
+        flat_lut = pq_lut(pq_books, q_rot).reshape(b, -1).astype(jnp.bfloat16)
     else:
         qsum = q_rot.sum(-1) * offset
         q_bf = q_rot.astype(jnp.bfloat16)
 
-    def body(carry, i):
+    col = jnp.arange(cap, dtype=jnp.int32)
+    mdim = codes.shape[1]
+
+    def step(carry, g):
         best_s, best_i = carry
-        sl = jax.lax.dynamic_slice(rows, (i * chunk,), (chunk,))
-        rl = jax.lax.dynamic_slice(row_list, (i * chunk,), (chunk,))
-        cand = codes[jnp.clip(sl, 0, codes.shape[0] - 1)]
+        lis = jax.lax.dynamic_slice(uniq, (g * group,), (group,))
+        ok_list = lis < nlist
+        lic = jnp.minimum(lis, nlist - 1).astype(jnp.int32)
+        offs = list_offsets[lic]
+        lens = list_offsets[lic + 1] - offs
+        cand = jax.vmap(
+            lambda o: jax.lax.dynamic_slice(codes, (o, 0), (cap, mdim))
+        )(offs).reshape(group * cap, mdim)  # contiguous per-list DMA
         if is_pq:
-            ksub = 256
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (chunk, cand.shape[1], ksub), 2)
-            oh = (cand[..., None].astype(jnp.int32) == iota
-                  ).reshape(chunk, -1).astype(jnp.bfloat16)
+            oh = codes_to_onehot(cand)  # [G*cap, M*256] bf16 (VPU compare)
             s = jax.lax.dot_general(
                 flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)  # [B, chunk]
+                preferred_element_type=jnp.float32)  # [B, G*cap]
         else:
             s = jax.lax.dot_general(
                 q_bf, cand.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)
             s = s / scale + qsum[:, None]
-        ok = (rl >= 0)[None, :] & (
-            jnp.take_along_axis(
-                member, jnp.broadcast_to(
-                    jnp.clip(rl, 0)[None, :], (b, chunk)), axis=1) > 0)
-        s = jnp.where(ok, s, NEG_INF)
+        # per-query masking: did this query probe this list?
+        memb = jnp.any(probe_ids[:, None, :] == lic[None, :, None], axis=-1)
+        memb = memb & ok_list[None, :]  # [B, G]
+        colv = col[None, :] < lens[:, None]  # [G, cap]
+        mask = (memb[:, :, None] & colv[None, :, :]).reshape(b, group * cap)
+        s = jnp.where(mask, s, NEG_INF)
+        rows = (offs[:, None] + col[None, :]).reshape(group * cap)
         cat_s = jnp.concatenate([best_s, s], axis=1)
         cat_i = jnp.concatenate(
-            [best_i, jnp.broadcast_to(sl[None, :], (b, chunk))], axis=1)
+            [best_i, jnp.broadcast_to(rows[None, :], (b, group * cap))],
+            axis=1)
         vals, pos = jax.lax.top_k(cat_s, scan_k)
         ids = jnp.take_along_axis(cat_i, pos, axis=1)
         return (vals, ids), None
 
     init = (jnp.full((b, scan_k), NEG_INF, jnp.float32),
-            jnp.zeros((b, scan_k), rows.dtype))
-    (vals, sorted_rows), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
+            jnp.zeros((b, scan_k), jnp.int32))
+    (vals, sorted_rows), _ = jax.lax.scan(step, init, jnp.arange(n_groups))
     gids = row_perm[jnp.clip(sorted_rows, 0, row_perm.shape[0] - 1)]
     if do_refine:
         # exact int8 re-ranking in the UNROTATED space (refine_codes are the
@@ -203,7 +240,7 @@ def _union_score(q_rot, q_raw, rows, row_list, member, codes, row_perm,
                        preferred_element_type=jnp.float32)
         s = s / scale + qsum_r[:, None]
         s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
-        vals, pos = jax.lax.top_k(s, top_k)
+        vals, pos = jax.lax.top_k(s, min(top_k, s.shape[1]))
         gids = jnp.take_along_axis(gids, pos, axis=1)
     return vals, gids
 
@@ -476,60 +513,46 @@ class IVFIndex:
                         n_total=n, refine_codes=refine)
 
     # ------------------------------------------------------- union search
-    def search_union(self, queries, top_k: int = 10, nprobe: int = 64):
+    def search_union(self, queries, top_k: int = 10, nprobe: int = 64,
+                     as_numpy: bool = True):
         """Batched union-scan search — the bandwidth-optimal formulation for
         query batches.
 
         Rationale: the per-probe dynamic-slice scan reads each query's probed
         lists separately, so HBM traffic multiplies by the batch size. But
-        within a batch the probed lists overlap heavily; here we gather the
-        UNION of all probed lists once, score EVERY query against the shared
-        candidate matrix with one chunked MXU matmul, and mask each query's
-        scores down to rows whose list it actually probed. When the union
-        approaches the whole corpus this degrades gracefully into the flat
-        scan (which is then genuinely optimal).
+        within a batch the probed lists overlap heavily; the union scan
+        dedupes the probed lists ON DEVICE (sort + sentinel), reads each
+        unique list once, scores the whole batch against it with one MXU
+        matmul, and masks per query. One jitted dispatch, no host sync.
 
-        Returns (scores [B, K] np, gids [B, K] np int64)."""
+        Returns (scores [B, K], gids [B, K]) — numpy if as_numpy."""
         queries = jnp.asarray(queries, jnp.float32)
-        b, d = queries.shape
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         q_rot = queries if self.rotation is None else queries @ self.rotation
-
-        c_scores = jnp.einsum("bd,nd->bn", queries.astype(jnp.bfloat16),
-                              self.centroids.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        _, probe_ids = jax.lax.top_k(c_scores, nprobe)
-        probe_np = np.asarray(probe_ids)  # [B, nprobe] — small download
-
-        # host: union of probed lists → candidate row ranges
-        offs = np.asarray(self.list_offsets)
-        uniq = np.unique(probe_np.reshape(-1))
-        row_chunks = [np.arange(offs[li], offs[li + 1]) for li in uniq]
-        rows = (np.concatenate(row_chunks) if row_chunks
-                else np.zeros(0, np.int64)).astype(np.int64)
-        row_list = np.concatenate([
-            np.full(offs[li + 1] - offs[li], li, np.int32) for li in uniq
-        ]) if row_chunks else np.zeros(0, np.int32)
-
-        # pad the union to a bucket size (recompile per bucket, cached)
-        u = max(len(rows), 1)
-        bucket = 1 << max(int(np.ceil(np.log2(u))), 10)
-        pad = bucket - len(rows)
-        rows_p = np.concatenate([rows, np.zeros(pad, np.int64)])
-        row_list_p = np.concatenate([row_list, np.full(pad, -1, np.int32)])
-
-        # membership bitmap over lists [B, nlist] (uint8)
-        member = np.zeros((b, int(self.centroids.shape[0])), np.uint8)
-        for bi in range(b):
-            member[bi, probe_np[bi]] = 1
-
-        vals, ids = _union_score(
-            q_rot, queries, jnp.asarray(rows_p), jnp.asarray(row_list_p),
-            jnp.asarray(member), self.codes, self.row_perm, self.pq_books,
-            self.refine_codes, jnp.float32(self.offset),
-            jnp.float32(self.scale), top_k=top_k,
-            refine_factor=self.cfg.refine_factor)
-        return np.asarray(vals), np.asarray(ids)
+        is_pq = self.pq_books is not None
+        do_refine = is_pq and self.refine_codes is not None
+        scan_k = (min(top_k * self.cfg.refine_factor, max(self.n_total, 1))
+                  if do_refine else min(top_k, max(self.n_total, 1)))
+        # group size: bound the per-step working set (one-hot expansion for
+        # PQ, raw int8 rows for SQ8) to keep VMEM pressure flat
+        mdim = int(self.codes.shape[1])
+        row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
+                      else 8 * 1024 * 1024 // max(mdim, 1))
+        group = int(np.clip(row_budget // max(self.cap, 1), 1, 64))
+        vals, ids = _union_scan(
+            queries, q_rot, self.centroids, self.list_offsets, self.codes,
+            self.row_perm, self.pq_books, self.refine_codes,
+            jnp.float32(self.offset), jnp.float32(self.scale), top_k=top_k,
+            nprobe=nprobe, cap=self.cap, group=group, scan_k=scan_k)
+        if vals.shape[1] < top_k:  # corpus smaller than top_k: pad
+            pad = top_k - vals.shape[1]
+            vals = jnp.concatenate(
+                [vals, jnp.full((vals.shape[0], pad), NEG_INF)], 1)
+            ids = jnp.concatenate(
+                [ids, jnp.zeros((ids.shape[0], pad), ids.dtype)], 1)
+        if as_numpy:
+            return np.asarray(vals), np.asarray(ids)
+        return vals, ids
 
     # ------------------------------------------------------------- search
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
@@ -541,10 +564,8 @@ class IVFIndex:
         formulation (one shared candidate gather for the whole batch)."""
         queries = jnp.asarray(queries, jnp.float32)
         if queries.shape[0] >= getattr(self.cfg, "prefer_union_batch", 4):
-            vals, ids = self.search_union(queries, top_k=top_k, nprobe=nprobe)
-            if as_numpy:
-                return vals, ids
-            return jnp.asarray(vals), jnp.asarray(ids)
+            return self.search_union(queries, top_k=top_k, nprobe=nprobe,
+                                     as_numpy=as_numpy)
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         k = min(top_k, self.n_total)
         key = (k, nprobe)
