@@ -69,9 +69,13 @@ def _round_up(x: int, m: int) -> int:
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "nprobe", "cap", "scan_k"))
 def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
-                 pq_books, refine_codes, offset, scale, *, top_k: int,
-                 nprobe: int, cap: int, scan_k: int):
-    """Per-probe IVF scan (single-query / tiny-batch path)."""
+                 pq_books, refine_codes, offset, scale, nlist_valid=None, *,
+                 top_k: int, nprobe: int, cap: int, scan_k: int):
+    """Per-probe IVF scan (single-query / tiny-batch path).
+
+    nlist_valid (optional device scalar): number of REAL centroids — rows
+    beyond it are shape padding (mesh-sharded stacking) and are masked out
+    of the probe."""
     b, d = q_raw.shape
     is_pq = pq_books is not None
     do_refine = is_pq and refine_codes is not None
@@ -80,6 +84,10 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
                           centroids.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
+    if nlist_valid is not None:
+        c_scores = jnp.where(
+            jnp.arange(centroids.shape[0])[None, :] < nlist_valid,
+            c_scores, NEG_INF)
     _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, nprobe]
 
     if is_pq:
@@ -148,8 +156,8 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                    static_argnames=("top_k", "nprobe", "cap", "group",
                                     "scan_k"))
 def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
-                pq_books, refine_codes, offset, scale, *, top_k: int,
-                nprobe: int, cap: int, group: int, scan_k: int):
+                pq_books, refine_codes, offset, scale, nlist_valid=None, *,
+                top_k: int, nprobe: int, cap: int, group: int, scan_k: int):
     """Batched union scan, entirely on device (no host round-trips).
 
     Probe all queries, dedupe the probed lists with a device sort (duplicates
@@ -168,6 +176,9 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
                           centroids.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
+    if nlist_valid is not None:
+        c_scores = jnp.where(
+            jnp.arange(nlist)[None, :] < nlist_valid, c_scores, NEG_INF)
     _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, P] int32
 
     # ---- device dedup: sort, sentinel out duplicates, uniques sort first

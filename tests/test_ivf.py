@@ -217,3 +217,48 @@ def test_sharded_ivf_matches_single(tmp_path):
     assert recall >= 0.9, recall
     # global ids must be valid rows of the full corpus
     assert (ids >= 0).all() and (ids < codes.shape[0]).all()
+
+
+@pytest.mark.parametrize("fine_quant,batch", [
+    ("SQ8", 2), ("SQ8", 8), ("OPQ8", 8),
+])
+def test_mesh_sharded_ivf_collective(fine_quant, batch):
+    """The one-dispatch mesh collective must match the host-merged ShardedIVF
+    built from the same shards (both probe/union batch regimes)."""
+    import jax
+    from densephrases_tpu.index.sharded import MeshShardedIVF, ShardedIVF
+    from densephrases_tpu.parallel import make_mesh
+
+    x = _clustered_data(4096, 64, seed=14)
+    codes = float_to_int8(x)
+    queries = _clustered_data(batch, 64, seed=15)
+    mesh = make_mesh(4, axis="shard", devices=jax.devices("cpu"))
+
+    cfg = IVFConfig(num_clusters=64, fine_quant=fine_quant, kmeans_iters=5,
+                    pq_iters=3, opq_iters=2, prefer_union_batch=4)
+    msh = MeshShardedIVF.build(codes, cfg, mesh)
+    v1, i1 = msh.search(queries, top_k=10, nprobe=16)
+
+    # host-merged reference over identically-built shards
+    host = ShardedIVF(msh_subs := _rebuild_subs(codes, cfg),
+                      [i * 1024 for i in range(4)])
+    v2, i2 = host.search(queries, top_k=10, nprobe=16)
+
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(i1, i2)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(np.sort(v1, 1), np.sort(v2, 1), atol=0.5)
+    assert (i1 >= 0).all() and (i1 < codes.shape[0]).all()
+
+
+def _rebuild_subs(codes, cfg):
+    """Build the same per-shard sub-indexes MeshShardedIVF.build makes."""
+    from dataclasses import replace
+
+    subs = []
+    for i in range(4):
+        sub_cfg = replace(cfg, num_clusters=max(cfg.num_clusters // 4, 1),
+                          seed=cfg.seed + i)
+        subs.append(IVFIndex.build(codes[i * 1024:(i + 1) * 1024], sub_cfg))
+    return subs
