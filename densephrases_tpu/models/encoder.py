@@ -87,17 +87,31 @@ def embed_query(params, config: BertConfig, input_ids, attention_mask, token_typ
                 deterministic=True, dropout_rng=None, attn_impl="auto"):
     """Query reps: [CLS] of the two query towers (ref: encoder.py:101-118).
 
+    The two towers share every shape, so they run as ONE vmapped forward
+    over stacked parameters: each per-layer matmul becomes a single batched
+    GEMM of twice the work instead of two half-size dispatches — better MXU
+    occupancy at serving batch sizes and half the kernel launches.
+
     Returns (query_start [B, H], query_end [B, H]).
     """
+    stacked = jax.tree.map(lambda a, b: jnp.stack([a, b]),
+                           params["query_start"], params["query_end"])
     if dropout_rng is not None:
-        r1, r2 = jax.random.split(dropout_rng)
+        rngs = jax.random.split(dropout_rng)
+        h = jax.vmap(
+            lambda p, r: bert_forward(
+                p, input_ids, attention_mask, token_type_ids, config=config,
+                deterministic=deterministic, dropout_rng=r,
+                attn_impl=attn_impl)
+        )(stacked, rngs)
     else:
-        r1 = r2 = None
-    hs = bert_forward(params["query_start"], input_ids, attention_mask, token_type_ids,
-                      config=config, deterministic=deterministic, dropout_rng=r1, attn_impl=attn_impl)
-    he = bert_forward(params["query_end"], input_ids, attention_mask, token_type_ids,
-                      config=config, deterministic=deterministic, dropout_rng=r2, attn_impl=attn_impl)
-    return hs[:, 0, :], he[:, 0, :]
+        h = jax.vmap(
+            lambda p: bert_forward(
+                p, input_ids, attention_mask, token_type_ids, config=config,
+                deterministic=deterministic, dropout_rng=None,
+                attn_impl=attn_impl)
+        )(stacked)
+    return h[0][:, 0, :], h[1][:, 0, :]
 
 
 def _masked_ce(logits, labels, valid):
