@@ -106,13 +106,18 @@ def main():
         for _ in range(5):
             one_batch()
 
-        # median-of-5 windows of 8 batches (tunnel latency fluctuates)
+        # median-of-5 windows of 8 batches (tunnel latency fluctuates);
+        # set DPH_TRACE_DIR to capture a jax.profiler trace of the windows
+        from densephrases_tpu.utils.profiling import xla_trace
+        import os
+
         windows = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            for _ in range(8):
-                one_batch()
-            windows.append(time.perf_counter() - t0)
+        with xla_trace(os.environ.get("DPH_TRACE_DIR")):
+            for _ in range(5):
+                t0 = time.perf_counter()
+                for _ in range(8):
+                    one_batch()
+                windows.append(time.perf_counter() - t0)
         elapsed = sorted(windows)[len(windows) // 2]
         n_batches = 8
 

@@ -48,6 +48,45 @@ def cloze_qg(context: str, max_questions: int = 3, seed: int = 0
     return out
 
 
+def hf_seq2seq_qg(model_path: str, max_questions: int = 3,
+                  device: str = "cpu", max_input_len: int = 512,
+                  max_output_len: int = 64) -> Callable:
+    """Build a ``qg_fn`` from a LOCAL HuggingFace seq2seq checkpoint — the
+    reference's actual generator is T5-large QG
+    (ref: scripts/question_generation/generate_squad.py:14).
+
+    Expects a highlight-format QG model (answer span wrapped in <hl> marks,
+    the valhalla/t5-*-qg convention): for each entity-like candidate span
+    the model generates one question. Requires the weights on local disk
+    (`transformers` loads with local_files_only=True; no hub access)."""
+    import torch
+    from transformers import AutoModelForSeq2SeqLM, AutoTokenizer
+
+    tok = AutoTokenizer.from_pretrained(model_path, local_files_only=True)
+    model = AutoModelForSeq2SeqLM.from_pretrained(
+        model_path, local_files_only=True).to(device).eval()
+
+    def qg_fn(context: str) -> List[Tuple[str, str]]:
+        spans = [m.group(0) for m in _ENT_RE.finditer(context)
+                 if m.start() > 0][:max_questions]
+        if not spans:
+            return []
+        prompts = [
+            "generate question: "
+            + context.replace(ans, f"<hl> {ans} <hl>", 1)
+            for ans in spans
+        ]
+        enc = tok(prompts, return_tensors="pt", padding=True,
+                  truncation=True, max_length=max_input_len).to(device)
+        with torch.no_grad():
+            gen = model.generate(**enc, max_length=max_output_len,
+                                 num_beams=4)
+        questions = tok.batch_decode(gen, skip_special_tokens=True)
+        return [(q.strip(), a) for q, a in zip(questions, spans) if q.strip()]
+
+    return qg_fn
+
+
 def generate_squad(docs: List[dict], out_path: str,
                    qg_fn: Optional[Callable] = None,
                    max_questions_per_par: int = 3, seed: int = 0) -> int:
