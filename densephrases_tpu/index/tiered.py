@@ -171,3 +171,165 @@ class TieredFlatIndex:
         """int8 rows for arbitrary global ids (host memmap gather) — used by
         the tiered rescore path (B·K·L rows, tiny)."""
         return np.asarray(self._overflow[np.clip(gids, 0, self.n_total - 1)])
+
+
+@functools.partial(jax.jit, static_argnames=("top_k",))
+def _score_union_block(qbf, qsum, block, row_list, member, scale,
+                       *, top_k: int):
+    """Score one streamed union block of inverted-list rows for the whole
+    batch, masked per query to the lists that query probed.
+
+    block: [R, D] int8; row_list: [R] list id per row (-1 = padding);
+    member: [B, nlist] uint8 probe bitmap."""
+    s = jax.lax.dot_general(
+        qbf, block.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    s = s / scale + qsum[:, None]
+    b = qbf.shape[0]
+    rl = jnp.clip(row_list, 0)
+    ok = (row_list >= 0)[None, :] & (
+        jnp.take_along_axis(
+            member, jnp.broadcast_to(rl[None, :], (b, row_list.shape[0])),
+            axis=1) > 0)
+    s = jnp.where(ok, s, NEG_INF)
+    vals, ids = jax.lax.top_k(s, min(top_k, s.shape[1]))
+    return vals, ids.astype(jnp.int32)
+
+
+class TieredIVF:
+    """IVF whose inverted lists live on the HOST (memmap) — the TPU analog
+    of FAISS OnDiskInvertedLists (ref: build_phrase_index.py:282-338,
+    index.py:28-30 IO_FLAG_ONDISK_SAME_DIR): serve an index bigger than
+    device memory.
+
+    Only the coarse centroids are device-resident. Per batch: probe on
+    device, read the probed lists' contiguous byte ranges from the memmap
+    (one slice per unique list — the exact IO pattern of on-disk invlists),
+    stream them up in fixed-size blocks, score+mask on device, merge top-k.
+    One small device→host sync per batch (the probe ids) is inherent to
+    host-side IO — the reference pays the same to read its mmap'd lists.
+
+    SQ8 lists only (the beyond-HBM regime wants the refine-free path;
+    PQ fits HBM at these scales anyway: 96 B/vec ≈ 10x smaller)."""
+
+    def __init__(self, centroids, list_offsets, codes_sorted, row_perm,
+                 offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
+                 block_rows: int = 1 << 18):
+        self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32))
+        self.list_offsets = np.asarray(list_offsets)  # host: drives the IO
+        self._codes = codes_sorted  # host memmap [N_pad, D] int8
+        self._row_perm = np.asarray(row_perm)
+        self.offset = float(offset)
+        self.scale = float(scale)
+        self.block_rows = int(block_rows)
+        self.nlist = int(self.list_offsets.shape[0] - 1)
+        self.n_total = int(self.list_offsets[-1])
+
+    @staticmethod
+    def load(path: str, block_rows: int = 1 << 18) -> "TieredIVF":
+        """Open a saved IVFIndex directory with the codes memory-mapped."""
+        import json as _json
+        import os
+        import pickle
+
+        with open(os.path.join(path, "ivf.pkl"), "rb") as f:
+            extra = pickle.load(f)
+        assert extra["pq"] is None, "TieredIVF serves SQ8 lists (see doc)"
+        codes = np.load(os.path.join(path, "codes.npy"), mmap_mode="r")
+        return TieredIVF(
+            np.load(os.path.join(path, "centroids.npy")),
+            np.load(os.path.join(path, "list_offsets.npy")),
+            codes,
+            np.load(os.path.join(path, "row_perm.npy")),
+            offset=extra["offset"], scale=extra["scale"],
+            block_rows=block_rows)
+
+    @staticmethod
+    def from_index(ivf, block_rows: int = 1 << 18) -> "TieredIVF":
+        """Wrap an in-memory IVFIndex (host copies of its arrays)."""
+        return TieredIVF(np.asarray(ivf.centroids),
+                         np.asarray(ivf.list_offsets),
+                         np.asarray(ivf.codes), np.asarray(ivf.row_perm),
+                         offset=ivf.offset, scale=ivf.scale,
+                         block_rows=block_rows)
+
+    def search(self, queries, top_k: int = 10, nprobe: int = 64,
+               as_numpy: bool = True):
+        queries = jnp.asarray(queries, jnp.float32)
+        b = queries.shape[0]
+        nprobe = min(nprobe, self.nlist)
+        k = min(top_k, max(self.n_total, 1))
+
+        # ---- probe on device, small download (B x nprobe int32)
+        c_scores = jnp.einsum("bd,nd->bn", queries.astype(jnp.bfloat16),
+                              self.centroids.astype(jnp.bfloat16),
+                              preferred_element_type=jnp.float32)
+        _, probe_ids = jax.lax.top_k(c_scores, nprobe)
+        probe_np = np.asarray(probe_ids)
+
+        # ---- host IO: contiguous range per unique probed list
+        offs = self.list_offsets
+        uniq = np.unique(probe_np.reshape(-1))
+        starts, ends = offs[uniq], offs[uniq + 1]
+        lens = ends - starts
+        member = np.zeros((b, self.nlist), np.uint8)
+        member[np.arange(b)[:, None], probe_np] = 1
+        member_dev = jax.device_put(member)
+
+        qsum = queries.sum(-1) * self.offset
+        qbf = queries.astype(jnp.bfloat16)
+        br = self.block_rows
+        cand_vals, cand_ids = [], []
+        blk = np.empty((br, self._codes.shape[1]), np.int8)
+        blk_rows = np.empty((br,), np.int64)
+        blk_list = np.empty((br,), np.int32)
+        fill = 0
+
+        def flush(fill):
+            if fill == 0:
+                return
+            if fill < br:  # pad tail to the static shape
+                blk_list[fill:] = -1
+            vals, ids = _score_union_block(
+                qbf, qsum, jax.device_put(blk.copy()),
+                jax.device_put(blk_list.copy()), member_dev,
+                jnp.float32(self.scale), top_k=min(k, br))
+            rows = blk_rows.copy()
+            cand_vals.append(np.asarray(vals))
+            cand_ids.append(rows[np.clip(np.asarray(ids), 0, br - 1)])
+
+        for li, s0, ln in zip(uniq, starts, lens):
+            done = 0
+            while done < ln:
+                take = min(int(ln - done), br - fill)
+                blk[fill:fill + take] = self._codes[s0 + done:s0 + done + take]
+                blk_rows[fill:fill + take] = np.arange(
+                    s0 + done, s0 + done + take)
+                blk_list[fill:fill + take] = li
+                fill += take
+                done += take
+                if fill == br:
+                    flush(fill)
+                    fill = 0
+        flush(fill)
+
+        if not cand_vals:  # empty probe set (degenerate corpus)
+            vals = np.full((b, top_k), float(NEG_INF), np.float32)
+            return vals, np.zeros((b, top_k), np.int64)
+
+        all_vals = np.concatenate(cand_vals, axis=1)
+        all_rows = np.concatenate(cand_ids, axis=1)
+        # final exact merge on host (candidate set is small: blocks x k)
+        order = np.argsort(-all_vals, axis=1)[:, :k]
+        vals = np.take_along_axis(all_vals, order, axis=1)
+        rows = np.take_along_axis(all_rows, order, axis=1)
+        gids = self._row_perm[np.clip(rows, 0, len(self._row_perm) - 1)]
+        if k < top_k:
+            pad = top_k - k
+            vals = np.concatenate(
+                [vals, np.full((b, pad), float(NEG_INF), np.float32)], 1)
+            gids = np.concatenate([gids, np.zeros((b, pad), gids.dtype)], 1)
+        if as_numpy:
+            return vals, gids
+        return jnp.asarray(vals), jnp.asarray(gids)

@@ -96,6 +96,36 @@ def test_tiered_mips_two_stage_matches_resident(tmp_path):
             assert abs(r_a["score"] - r_b["score"]) < 0.2
 
 
+def test_tiered_ivf_matches_device_ivf(tmp_path):
+    """Host-tier (memmap) IVF must return the same candidates as the fully
+    device-resident IVF: same probed lists, same math."""
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.index.tiered import TieredIVF
+
+    codes = _corpus(n=6000, d=64, seed=11)
+    rng = np.random.default_rng(12)
+    queries = rng.normal(-2, 1, (6, 64)).astype(np.float32)
+
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64, fine_quant="SQ8",
+                                          kmeans_iters=4))
+    dv, di = ivf.search_union(queries, top_k=10, nprobe=16)
+
+    ivf.save(str(tmp_path / "ivf"))
+    tiered = TieredIVF.load(str(tmp_path / "ivf"), block_rows=512)
+    tv, ti = tiered.search(queries, top_k=10, nprobe=16)
+
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10 for a, b in zip(di, ti)
+    ])
+    assert overlap >= 0.9, overlap
+    np.testing.assert_allclose(np.sort(dv, 1), np.sort(tv, 1), atol=0.3)
+
+    # tiny-block edge: block smaller than the longest list still exact
+    tiered_small = TieredIVF.load(str(tmp_path / "ivf"), block_rows=64)
+    sv, si = tiered_small.search(queries, top_k=10, nprobe=16)
+    np.testing.assert_allclose(np.sort(sv, 1), np.sort(tv, 1), atol=1e-4)
+
+
 def test_tiered_mips_return_idxs_vectors(tmp_path):
     store = _tiny_store(tmp_path, seed=9)
     tiered_idx = TieredFlatIndex(
