@@ -69,7 +69,8 @@ def init_encoder_params(rng, config: BertConfig, dtype=jnp.float32, with_teacher
 
 
 def embed_phrase(params, config: BertConfig, input_ids, attention_mask, token_type_ids=None,
-                 deterministic=True, dropout_rng=None, attn_impl="auto"):
+                 deterministic=True, dropout_rng=None, attn_impl="auto",
+                 remat="full"):
     """Phrase-side reps. Returns (start, end, filter_start_logits, filter_end_logits).
 
     start and end share the same hidden states (ref: encoder.py:92-99).
@@ -77,14 +78,15 @@ def embed_phrase(params, config: BertConfig, input_ids, attention_mask, token_ty
     hidden = bert_forward(
         params["phrase"], input_ids, attention_mask, token_type_ids,
         config=config, deterministic=deterministic, dropout_rng=dropout_rng,
-        attn_impl=attn_impl,
+        attn_impl=attn_impl, remat=remat,
     )
     flt = jnp.einsum("blh,ho->blo", hidden, params["filter"]["w"].astype(hidden.dtype)) + params["filter"]["b"]
     return hidden, hidden, flt[..., 0], flt[..., 1]
 
 
 def embed_query(params, config: BertConfig, input_ids, attention_mask, token_type_ids=None,
-                deterministic=True, dropout_rng=None, attn_impl="auto"):
+                deterministic=True, dropout_rng=None, attn_impl="auto",
+                remat="full"):
     """Query reps: [CLS] of the two query towers (ref: encoder.py:101-118).
 
     The two towers share every shape, so they run as ONE vmapped forward
@@ -102,14 +104,14 @@ def embed_query(params, config: BertConfig, input_ids, attention_mask, token_typ
             lambda p, r: bert_forward(
                 p, input_ids, attention_mask, token_type_ids, config=config,
                 deterministic=deterministic, dropout_rng=r,
-                attn_impl=attn_impl)
+                attn_impl=attn_impl, remat=remat)
         )(stacked, rngs)
     else:
         h = jax.vmap(
             lambda p: bert_forward(
                 p, input_ids, attention_mask, token_type_ids, config=config,
                 deterministic=deterministic, dropout_rng=None,
-                attn_impl=attn_impl)
+                attn_impl=attn_impl, remat=remat)
         )(stacked)
     return h[0][:, 0, :], h[1][:, 0, :]
 
@@ -131,7 +133,8 @@ class RCLossConfig:
 
 
 def rc_loss(params, config: BertConfig, batch, loss_cfg: RCLossConfig,
-            pre_batch=None, deterministic=False, dropout_rng=None, attn_impl="auto"):
+            pre_batch=None, deterministic=False, dropout_rng=None, attn_impl="auto",
+            remat="full"):
     """Full RC training objective.
 
     batch keys: input_ids/attention_mask/token_type_ids (passage, [B, L]),
@@ -154,10 +157,10 @@ def rc_loss(params, config: BertConfig, batch, loss_cfg: RCLossConfig,
 
     start, end, f_start, f_end = embed_phrase(
         params, config, batch["input_ids"], batch["attention_mask"],
-        batch.get("token_type_ids"), deterministic, rp, attn_impl)
+        batch.get("token_type_ids"), deterministic, rp, attn_impl, remat)
     query_start, query_end = embed_query(
         params, config, batch["query_input_ids"], batch["query_attention_mask"],
-        batch.get("query_token_type_ids"), deterministic, rq, attn_impl)
+        batch.get("query_token_type_ids"), deterministic, rq, attn_impl, remat)
 
     b, l, h = start.shape
     start_positions = batch["start_positions"]
@@ -233,7 +236,8 @@ def rc_loss(params, config: BertConfig, batch, loss_cfg: RCLossConfig,
         if "neg_input_ids" in batch:
             neg_start, neg_end, _, _ = embed_phrase(
                 params, config, batch["neg_input_ids"], batch["neg_attention_mask"],
-                batch.get("neg_token_type_ids"), deterministic, rn, attn_impl)
+                batch.get("neg_token_type_ids"), deterministic, rn, attn_impl,
+                remat)
             if loss_cfg.axis_name is not None:
                 neg_start = jax.lax.all_gather(neg_start, loss_cfg.axis_name, tiled=True)
                 neg_end = jax.lax.all_gather(neg_end, loss_cfg.axis_name, tiled=True)

@@ -1,0 +1,164 @@
+"""On-device serving/training microbench: device time with the tunnel
+dispatch overhead amortized away.
+
+The e2e bench (bench.py) pays a host→TPU tunnel round-trip per batch; this
+tool times K back-to-back async dispatches and blocks once at the end, so
+the device pipeline stays full and the number approaches pure device
+throughput. Also reports train-step MFU from XLA's own flop count.
+
+Run: python densephrases_tpu/tools/bench_device.py [--out docs/DEVICE_BENCH.json]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+# v5e-class chip: 197 bf16 TFLOP/s. Overridable for other chips.
+PEAK_TFLOPS = float(os.environ.get("DPH_PEAK_TFLOPS", "197"))
+
+
+def pipeline_time(dispatch, k: int = 32, warmup: int = 5):
+    """Seconds per call with the device queue kept full."""
+    import jax
+
+    for _ in range(warmup):
+        out = dispatch()
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    outs = [dispatch() for _ in range(k)]
+    jax.block_until_ready(outs[-1])
+    return (time.perf_counter() - t0) / k
+
+
+def xla_flops(jitted, *args) -> float:
+    """XLA's flop estimate for one call (0.0 if unavailable)."""
+    try:
+        an = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "..", "docs", "DEVICE_BENCH.json"))
+    ap.add_argument("--n", type=int, default=1_000_000)
+    ap.add_argument("--batch", type=int, default=64)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from densephrases_tpu.index.flat import FlatIndex, _scan_topk
+    from densephrases_tpu.models.bert import BertConfig
+    from densephrases_tpu.models.encoder import (
+        RCLossConfig,
+        embed_query,
+        init_encoder_params,
+    )
+    from densephrases_tpu.ops.quant import float_to_int8
+
+    res = {"backend": jax.default_backend(), "n": args.n,
+           "batch": args.batch, "peak_tflops": PEAK_TFLOPS}
+    config = BertConfig()
+    params = init_encoder_params(jax.random.PRNGKey(0), config)
+    rng = np.random.default_rng(0)
+    b, lq = args.batch, 32
+
+    # ---- query encoding (both towers, stacked)
+    ids = jnp.asarray(rng.integers(5, 1000, (b, lq)), jnp.int32)
+    mask = jnp.ones((b, lq), jnp.int32)
+    enc = jax.jit(lambda p, i, m: embed_query(p, config, i, m,
+                                              deterministic=True))
+    t = pipeline_time(lambda: enc(params, ids, mask))
+    fl = xla_flops(enc, params, ids, mask)
+    res["encode_b%d_ms" % b] = round(1000 * t, 3)
+    res["encode_mfu"] = round(fl / t / (PEAK_TFLOPS * 1e12), 4) if fl else None
+
+    # ---- stage-1 flat scan over n x 768 int8
+    codes = float_to_int8(rng.normal(-2, 1, (args.n, 768)).astype(np.float32))
+    flat = FlatIndex(codes, chunk=65536)
+    q = jnp.asarray(rng.normal(size=(2 * b, 768)), jnp.float32)
+    scan = jax.jit(lambda q_: _scan_topk(q_, flat.codes, jnp.int32(args.n),
+                                         flat.offset, flat.scale, top_k=10,
+                                         chunk=flat.chunk))
+    t = pipeline_time(lambda: scan(q))
+    res["scan_2x%d_ms" % b] = round(1000 * t, 3)
+    res["scan_gbps"] = round(args.n * 768 / t / 1e9, 1)
+
+    # ---- fused serve step (encode + scan + rescore, one dispatch)
+    from densephrases_tpu.serve.fused import _fused_serve
+
+    f2o = jnp.asarray(np.arange(args.n) % 100, jnp.int32)
+    doc_end = jnp.asarray((np.arange(args.n) // 100 + 1) * 100, jnp.int32)
+    doc_base = jnp.asarray((np.arange(args.n) // 100) * 100, jnp.int32)
+    tts = jnp.zeros((b, lq), jnp.int32)
+
+    def fused():
+        return _fused_serve(
+            params, ids, mask, tts, flat.codes, f2o, doc_end, doc_base,
+            jnp.float32(flat.offset), jnp.float32(flat.scale),
+            jnp.int32(args.n), config=config, top_k=10,
+            max_answer_length=10, chunk=flat.chunk, attn_impl="auto")
+
+    t = pipeline_time(fused)
+    res["fused_b%d_ms" % b] = round(1000 * t, 3)
+    res["fused_qps_device"] = round(b / t, 1)
+
+    # ---- RC train step MFU (b24, L384 — the reference's training shape)
+    from densephrases_tpu.train.rc import (
+        create_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    bt, l = 24, 384
+    opt = make_optimizer(lr=1e-4, warmup_steps=10, total_steps=100)
+    state = create_train_state(params, opt, pbn_size=2, batch_size=bt,
+                               hidden=config.hidden_size)
+    batch = {
+        "input_ids": jnp.asarray(rng.integers(5, 1000, (bt, l)), jnp.int32),
+        "attention_mask": jnp.ones((bt, l), jnp.int32),
+        "token_type_ids": jnp.zeros((bt, l), jnp.int32),
+        "query_input_ids": jnp.asarray(rng.integers(5, 1000, (bt, lq)),
+                                       jnp.int32),
+        "query_attention_mask": jnp.ones((bt, lq), jnp.int32),
+        "query_token_type_ids": jnp.zeros((bt, lq), jnp.int32),
+        "start_positions": jnp.asarray(rng.integers(1, l - 1, (bt,)),
+                                       jnp.int32),
+        "end_positions": jnp.asarray(rng.integers(1, l - 1, (bt,)),
+                                     jnp.int32),
+    }
+    step = make_train_step(config, RCLossConfig(lambda_neg=1.0,
+                                                lambda_flt=1.0), opt)
+    key = jax.random.PRNGKey(0)
+
+    new_state, _ = step(state, batch, key)  # compile
+    jax.block_until_ready(new_state.params["filter"]["b"])
+    t0 = time.perf_counter()
+    k = 8
+    for _ in range(k):
+        new_state, metrics = step(new_state, batch, key)
+    jax.block_until_ready(new_state.params["filter"]["b"])
+    t = (time.perf_counter() - t0) / k
+    res["train_step_ms"] = round(1000 * t, 1)
+    fl = xla_flops(step, state, batch, key)
+    res["train_mfu"] = round(fl / t / (PEAK_TFLOPS * 1e12), 4) if fl else None
+
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(res, f, indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

@@ -31,7 +31,10 @@ def make_corpus(n: int, d: int, n_clusters: int = 4096, seed: int = 0,
     for b0 in range(0, n, block):
         m = min(block, n - b0)
         idx = rng.integers(0, n_clusters, m)
-        blk = centers[idx] + 0.3 * rng.normal(size=(m, d)).astype(np.float32)
+        # f32 noise straight from the generator (f64 is 2x slower + 2x RAM)
+        blk = rng.standard_normal((m, d), dtype=np.float32)
+        blk *= 0.3
+        blk += centers[idx]
         out[b0:b0 + m] = float_to_int8(blk)
     return out
 

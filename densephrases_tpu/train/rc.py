@@ -99,7 +99,8 @@ def create_train_state(params, optimizer, pbn_size: int = 0, batch_size: int = 0
 
 def make_train_step(config: BertConfig, loss_cfg: RCLossConfig, optimizer,
                     mesh: Optional[Mesh] = None, dp_axis: str = "dp",
-                    attn_impl: str = "auto", frozen_word_embeddings: bool = True):
+                    attn_impl: str = "auto", frozen_word_embeddings: bool = True,
+                    remat: str = "full"):
     """Build the jitted train step. With a mesh, the step is shard_mapped over
     ``dp_axis`` (batch sharded, params replicated).
 
@@ -138,7 +139,8 @@ def make_train_step(config: BertConfig, loss_cfg: RCLossConfig, optimizer,
         def loss_fn(params):
             total, aux = rc_loss(
                 params, config, batch, loss_cfg, pre_batch=state.pre_batch,
-                deterministic=False, dropout_rng=rng, attn_impl=attn_impl)
+                deterministic=False, dropout_rng=rng, attn_impl=attn_impl,
+                remat=remat)
             return total, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
