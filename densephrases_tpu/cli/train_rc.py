@@ -142,7 +142,8 @@ def main(argv=None):
     from densephrases_tpu.utils.metrics_log import MetricsLogger
 
     mlog = MetricsLogger(m.output_dir or None, use_wandb=t.wandb)
-    step_fn = make_train_step(config, loss_cfg, optimizer, mesh=mesh)
+    step_fn = make_train_step(config, loss_cfg, optimizer, mesh=mesh,
+                              remat=t.remat)
     rng = jax.random.PRNGKey(t.seed)
     global_step = skip_steps
     for epoch in range(int(np.ceil(t.num_train_epochs))):

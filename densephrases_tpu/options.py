@@ -106,6 +106,8 @@ class TrainOptions:
     filter_threshold: float = -2.0
     teacher_dir: str = ""
     wandb: bool = False
+    # backward-pass rematerialization: full | dots | none (models/bert.py)
+    remat: str = "full"
 
 
 @dataclass
