@@ -35,10 +35,23 @@ logger = logging.getLogger(__name__)
 def load_model(opts: Options) -> DensePhrases:
     m, ix, r = opts.model, opts.index, opts.retrieval
     params, config, tokenizer = load_encoder(m.load_dir, draft=opts.draft)
-    store = PhraseStore.load(os.path.join(ix.dump_dir, ix.phrase_dir))
+    host_tier = r.index_tier == "host"
+    store = PhraseStore.load(os.path.join(ix.dump_dir, ix.phrase_dir),
+                             mmap=host_tier)
     index_dir = os.path.join(ix.dump_dir, ix.index_name)
-    index = IVFIndex.load(index_dir) if os.path.exists(
-        os.path.join(index_dir, "ivf.pkl")) else None
+    have_ivf = os.path.exists(os.path.join(index_dir, "ivf.pkl"))
+    if host_tier:
+        # beyond-HBM serving: memmap'd inverted lists (TieredIVF) or a
+        # streamed flat scan, plus host-side stage-2 rescore (MIPS.tiered)
+        from densephrases_tpu.index.tiered import TieredFlatIndex, TieredIVF
+
+        if have_ivf:
+            index = TieredIVF.load(index_dir)
+            index.store_vecs = store.vecs
+        else:
+            index = TieredFlatIndex(store.vecs, store.offset, store.scale)
+    else:
+        index = IVFIndex.load(index_dir) if have_ivf else None
     mips = MIPS(store, index=index)
     truecase = TrueCaser(r.truecase_path) if (r.truecase and r.truecase_path
                                               and os.path.exists(r.truecase_path)) else None

@@ -225,6 +225,10 @@ class TieredIVF:
         self.block_rows = int(block_rows)
         self.nlist = int(self.list_offsets.shape[0] - 1)
         self.n_total = int(self.list_offsets[-1])
+        # original-order vectors for the rescore stage (usually the phrase
+        # store's memmap); without it, gathers go through the inverse perm
+        self.store_vecs = None
+        self._inv_perm = None
 
     @staticmethod
     def load(path: str, block_rows: int = 1 << 18) -> "TieredIVF":
@@ -253,6 +257,17 @@ class TieredIVF:
                          np.asarray(ivf.codes), np.asarray(ivf.row_perm),
                          offset=ivf.offset, scale=ivf.scale,
                          block_rows=block_rows)
+
+    def gather_rows_host(self, gids: np.ndarray) -> np.ndarray:
+        """int8 rows for ORIGINAL global ids (MIPS tiered-rescore hook)."""
+        gids = np.clip(gids, 0, self.n_total - 1)
+        if self.store_vecs is not None:
+            return np.asarray(self.store_vecs[gids])
+        if self._inv_perm is None:  # sorted codes → invert the permutation
+            inv = np.empty(self.n_total, np.int64)
+            inv[self._row_perm[:self.n_total]] = np.arange(self.n_total)
+            self._inv_perm = inv
+        return np.asarray(self._codes[self._inv_perm[gids]])
 
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
                as_numpy: bool = True):

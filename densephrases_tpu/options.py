@@ -128,6 +128,9 @@ class RetrievalOptions:
     title2wikiid_path: str = ""
     eval_psg: bool = False  # passage-level eval (ref: eval_psg mode)
     save_pred: bool = True
+    # index residency: device (HBM) | host (memmap'd store + inverted
+    # lists, the OnDiskInvertedLists serving mode for corpora > HBM)
+    index_tier: str = "device"
 
 
 @dataclass

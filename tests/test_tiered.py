@@ -126,6 +126,45 @@ def test_tiered_ivf_matches_device_ivf(tmp_path):
     np.testing.assert_allclose(np.sort(sv, 1), np.sort(tv, 1), atol=1e-4)
 
 
+def test_tiered_ivf_mips_two_stage(tmp_path):
+    """Full two-stage MIPS over a host-tier IVF must agree with the
+    device-resident IVF (same lists probed, host rescore vs device)."""
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.index.tiered import TieredIVF
+
+    store = _tiny_store(tmp_path, n_docs=20, seed=21)
+    codes = np.asarray(store.vecs)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=8, fine_quant="SQ8",
+                                          kmeans_iters=4),
+                         offset=store.offset, scale=store.scale)
+    ivf.save(str(tmp_path / "ivf"))
+    tiered = TieredIVF.load(str(tmp_path / "ivf"), block_rows=64)
+    tiered.store_vecs = store.vecs
+
+    mips_dev = MIPS(store, index=ivf)
+    mips_host = MIPS(store, index=tiered)
+    assert mips_host.tiered and mips_host.vecs_dev is None
+
+    d = store.dim
+    qvec = np.random.default_rng(22).normal(size=(3, 2 * d)).astype(np.float32)
+    out_a = mips_dev.search(qvec, top_k=4, aggregate=False, nprobe=8)
+    out_b = mips_host.search(qvec, top_k=4, aggregate=False, nprobe=8)
+    for ra, rb in zip(out_a, out_b):
+        # host rescore runs in f32 numpy, device in bf16 — near-ties on
+        # random data reorder, so compare candidate overlap + scores
+        ans_a = [(r["doc_idx"], r["start_pos"], r["end_pos"]) for r in ra]
+        ans_b = [(r["doc_idx"], r["start_pos"], r["end_pos"]) for r in rb]
+        assert len(set(ans_a) & set(ans_b)) >= max(1, len(ans_a) // 2)
+        sa = sorted(r["score"] for r in ra)
+        sb = sorted(r["score"] for r in rb)
+        np.testing.assert_allclose(sa, sb, atol=0.35)
+
+    # inverse-perm fallback (no store memmap attached) returns same rows
+    tiered.store_vecs = None
+    rows_inv = tiered.gather_rows_host(np.array([0, 5, 11]))
+    np.testing.assert_array_equal(rows_inv, codes[[0, 5, 11]])
+
+
 def test_tiered_mips_return_idxs_vectors(tmp_path):
     store = _tiny_store(tmp_path, seed=9)
     tiered_idx = TieredFlatIndex(
