@@ -85,7 +85,15 @@ def main():
     res["encode_mfu"] = round(fl / t / (PEAK_TFLOPS * 1e12), 4) if fl else None
 
     # ---- stage-1 flat scan over n x 768 int8
-    codes = float_to_int8(rng.normal(-2, 1, (args.n, 768)).astype(np.float32))
+    # corpus generated ON DEVICE (host-side numpy normal() takes minutes on
+    # this VM's single slow core) and chunk-aligned so FlatIndex uses the
+    # device buffer in place
+    n_pad = ((args.n + 65535) // 65536) * 65536
+    codes = float_to_int8(
+        jax.random.normal(jax.random.PRNGKey(7), (n_pad, 768), jnp.float32)
+        - 2.0)
+    args.n = n_pad
+    res["n"] = n_pad
     flat = FlatIndex(codes, chunk=65536)
     q = jnp.asarray(rng.normal(size=(2 * b, 768)), jnp.float32)
     scan = jax.jit(lambda q_: _scan_topk(q_, flat.codes, jnp.int32(args.n),

@@ -194,3 +194,31 @@ def test_cross_encoder_training_runs():
     assert "cross" in params and "qa_outputs" in params
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+# ------------------------------------------------- scale-bench corpus gen
+def test_gen_corpus_device_and_cache(tmp_path):
+    """Device-side clustered corpus generator (tiny shapes on CPU):
+    distribution contract + memmap cache round-trip + .done marker."""
+    from densephrases_tpu.tools.bench_ivf_scale import (
+        cache_corpus,
+        gen_corpus_device,
+    )
+
+    codes = gen_corpus_device(n=2048, d=32, n_clusters=8, seed=3, block=512)
+    codes = np.asarray(codes)
+    assert codes.shape == (2048, 32) and codes.dtype == np.int8
+    # affine contract: centers ~ N(-2, 1) quantize near code 0 (offset -2)
+    floats = codes.astype(np.float32) / 20.0 - 2.0
+    assert -3.5 < floats.mean() < -0.5
+    # clustered: nearest-neighbor gap within the corpus is much smaller
+    # than the typical inter-row distance
+    d2 = ((floats[:64, None, :] - floats[None, :256, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2[:, :64], np.inf)
+    assert np.median(d2.min(1)) < 0.25 * np.median(np.median(d2, 1))
+
+    path = str(tmp_path / "corpus.npy")
+    cache_corpus(jax.numpy.asarray(codes), path, block=512)
+    assert os.path.exists(path + ".done")
+    mm = np.load(path, mmap_mode="r")
+    np.testing.assert_array_equal(np.asarray(mm), codes)
