@@ -12,7 +12,11 @@ a padding mask:
   L·L·4B = 1 MB — far under the ~16 MB VMEM budget, so no K/V tiling pass is
   needed; this *is* the speed-of-light schedule for this shape.
 
-``attention(...)`` auto-selects: Pallas on TPU, XLA elsewhere.
+``attention(...)`` auto-selects: Pallas on TPU, XLA elsewhere. Both the
+forward and the backward are fused Pallas kernels on TPU: the backward
+recomputes the score matrix in VMEM from (q, k, v, mask) residuals
+(flash-attention style), so no [L, L] tensor ever lands in HBM in either
+direction.
 """
 
 from __future__ import annotations
@@ -87,6 +91,70 @@ def attention_pallas(q, k, v, mask, interpret: bool = False):
     return out.reshape(b, h, l, d)
 
 
+def _fused_attn_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, g_ref,
+                           dq_ref, dk_ref, dv_ref):
+    """Backward for one (batch, head) cell, scores recomputed in VMEM.
+
+    Residuals are just (q, k, v, mask): the [L, L] probability matrix is
+    recomputed here (flash-attention style) instead of being saved to HBM,
+    so training keeps the same O(L·D) memory footprint as the forward.
+
+        dv = Pᵀ g
+        dS = P ∘ (dP − rowsum(dP ∘ P)),  dP = g vᵀ
+        dq = dS k / √d,  dk = dSᵀ q / √d
+    """
+    q = q_ref[0].astype(jnp.float32)  # [L, D]
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+    g = g_ref[0].astype(jnp.float32)
+    d = q.shape[-1]
+    inv_sqrt_d = 1.0 / (d ** 0.5)
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * inv_sqrt_d
+    bias = (1.0 - mask_ref[0, 0].astype(jnp.float32)) * NEG_INF  # [L]
+    scores = scores + bias[None, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)  # [L, L]
+    dv = jnp.dot(p.T, g, preferred_element_type=jnp.float32)
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * inv_sqrt_d
+    dq_ref[0] = jnp.dot(
+        ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.dot(
+        ds.T, q, preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+    dv_ref[0] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def attention_pallas_bwd(q, k, v, mask, g, interpret: bool = False):
+    """Fused backward: (dq, dk, dv), each [B, H, L, D]."""
+    b, h, l, d = q.shape
+    flat = lambda x: x.reshape(b * h, l, d)
+    maskf = jnp.repeat(mask.astype(jnp.float32), h, axis=0)[:, None, :]
+    spec3 = pl.BlockSpec((1, l, d), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _fused_attn_bwd_kernel,
+        out_shape=[jax.ShapeDtypeStruct((b * h, l, d), q.dtype)] * 3,
+        grid=(b * h,),
+        in_specs=[
+            spec3, spec3, spec3,
+            pl.BlockSpec((1, 1, l), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec3,
+        ],
+        out_specs=[spec3] * 3,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=5 * 2 * l * l * d,
+            bytes_accessed=(7 * l * d + l) * 4,
+            transcendentals=l * l,
+        ),
+    )(flat(q), flat(k), flat(v), maskf, flat(g))
+    dq, dk, dv = (x.reshape(b, h, l, d) for x in out)
+    return dq, dk, dv
+
+
 @jax.custom_vjp
 def _attention_pallas_ad(q, k, v, mask):
     return attention_pallas(q, k, v, mask)
@@ -97,13 +165,8 @@ def _attention_pallas_fwd(q, k, v, mask):
 
 
 def _attention_pallas_bwd(res, g):
-    # Backward recomputes through the XLA formulation (identical math); the
-    # fused kernel stays a pure-forward fast path while training gradients
-    # come from XLA's well-tested attention VJP.
     q, k, v, mask = res
-    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, mask),
-                     q, k, v)
-    dq, dk, dv = vjp(g)
+    dq, dk, dv = attention_pallas_bwd(q, k, v, mask, g)
     return dq, dk, dv, None
 
 
@@ -120,3 +183,8 @@ def attention(q, k, v, mask, impl: str = "auto", interpret: bool = False):
             return attention_pallas(q, k, v, mask, interpret=True)
         return _attention_pallas_ad(q, k, v, mask)
     return attention_xla(q, k, v, mask)
+
+
+def attention_vjp_pallas(q, k, v, mask, g, interpret: bool = False):
+    """Direct entry to the fused backward kernel (used by tests)."""
+    return attention_pallas_bwd(q, k, v, mask, g, interpret=interpret)

@@ -61,6 +61,28 @@ def test_pallas_attention_matches_xla(cfg):
     assert corr > 0.99999
 
 
+def test_pallas_attention_backward_matches_xla_vjp(cfg):
+    # Fused Pallas backward (interpret mode) vs jax.vjp of the XLA
+    # formulation: same gradients for q, k, v.
+    from densephrases_tpu.models.attention import attention_vjp_pallas
+
+    rng = jax.random.PRNGKey(2)
+    b, h, l, d = 2, 3, 16, 64
+    q, k, v, g = (jax.random.normal(jax.random.fold_in(rng, i), (b, h, l, d))
+                  for i in range(4))
+    mask = jnp.ones((b, l)).at[:, 11:].set(0)
+    _, vjp = jax.vjp(lambda q_, k_, v_: attention_xla(q_, k_, v_, mask),
+                     q, k, v)
+    rq, rk, rv = vjp(g)
+    dq, dk, dv = attention_vjp_pallas(q, k, v, mask, g, interpret=True)
+    for got, ref in ((dq, rq), (dk, rk), (dv, rv)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-2)
+        corr = np.corrcoef(np.asarray(got).ravel(),
+                           np.asarray(ref).ravel())[0, 1]
+        assert corr > 0.9999
+
+
 def test_embed_phrase_query_shapes(cfg):
     params = init_encoder_params(jax.random.PRNGKey(0), cfg)
     b, l, lq = 2, 16, 8
