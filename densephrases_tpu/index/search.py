@@ -283,9 +283,19 @@ class MIPS:
     # ---------------- stage 2 ----------------
     def search_phrase(self, query, s_gids, e_gids, s_scores, e_scores,
                       max_answer_length: int = 10, return_idxs: bool = False,
-                      return_sent: bool = False):
+                      return_sent: bool = False, vecs_on_device: bool = False):
         """Constrained span rescore + host result assembly
-        (ref: index.py:220-422)."""
+        (ref: index.py:220-422).
+
+        vecs_on_device (implies return_idxs): candidate phrase vectors are
+        NOT shipped to host / attached to result dicts. Instead the return
+        value becomes ``(results, (start_vecs, end_vecs))`` with two device
+        arrays [B, 2K, D], and every result dict carries ``cand_col`` — its
+        column in those arrays. Query-side fine-tuning gathers the vectors
+        it needs on device (host annotation only reads the small text
+        fields), avoiding a B·K·D-sized D2H+H2D round-trip per batch."""
+        if vecs_on_device:
+            return_idxs = True
         b, k = s_gids.shape
         query = jnp.asarray(query, jnp.float32)
         qs, qe = jnp.split(query, 2, axis=1)
@@ -311,9 +321,20 @@ class MIPS:
                     for key in ("end_vec_for_start", "start_vec_anchor",
                                 "start_vec_for_end", "end_vec_anchor"):
                         res[key] = res[key] @ rt
-            return self._assemble(res, np.asarray(s_gids), np.asarray(e_gids),
+                dev_vecs = None
+                if vecs_on_device:
+                    dev_vecs = (
+                        jnp.asarray(np.concatenate(
+                            [res.pop("start_vec_anchor"),
+                             res.pop("start_vec_for_end")], axis=1)),
+                        jnp.asarray(np.concatenate(
+                            [res.pop("end_vec_for_start"),
+                             res.pop("end_vec_anchor")], axis=1)))
+                    return_idxs = False
+            outs = self._assemble(res, np.asarray(s_gids), np.asarray(e_gids),
                                   return_idxs=return_idxs,
                                   return_sent=return_sent)
+            return (outs, dev_vecs) if dev_vecs is not None else outs
 
         with self.timer.stage("rescore_device"):
             res = _rescore_spans(
@@ -333,12 +354,23 @@ class MIPS:
                 for key in ("end_vec_for_start", "start_vec_anchor",
                             "start_vec_for_end", "end_vec_anchor"):
                     res[key] = res[key] @ rt
+            dev_vecs = None
+            if vecs_on_device:
+                # [B, 2K, D] column layout matches _assemble's candidate
+                # columns: K start-anchored spans then K end-anchored spans
+                dev_vecs = (
+                    jnp.concatenate([res.pop("start_vec_anchor"),
+                                     res.pop("start_vec_for_end")], axis=1),
+                    jnp.concatenate([res.pop("end_vec_for_start"),
+                                     res.pop("end_vec_anchor")], axis=1))
+                return_idxs = False
             # ONE bundled device→host transfer for everything stage 3 needs
             res, s_gids, e_gids = jax.device_get(
                 (res, jnp.asarray(s_gids), jnp.asarray(e_gids)))
 
-        return self._assemble(res, s_gids, e_gids, return_idxs=return_idxs,
+        outs = self._assemble(res, s_gids, e_gids, return_idxs=return_idxs,
                               return_sent=return_sent)
+        return (outs, dev_vecs) if dev_vecs is not None else outs
 
     def _assemble(self, res, s_gids, e_gids, return_idxs: bool = False,
                   return_sent: bool = False):
@@ -389,6 +421,10 @@ class MIPS:
                         "start_pos": start_pos, "end_pos": end_pos,
                         "start_idx": sl, "end_idx": el,
                         "score": score,
+                        # column in the [B, 2K] candidate layout — the key
+                        # for gathering this span's vectors from the
+                        # vecs_on_device arrays after host-side sorting
+                        "cand_col": ci,
                         "start_vec": start_vecs[bi, ci] if return_idxs else None,
                         "end_vec": end_vecs[bi, ci] if return_idxs else None,
                     }
@@ -455,14 +491,16 @@ class MIPS:
     def search(self, query, q_texts=None, nprobe: int = 256, top_k: int = 10,
                aggregate: bool = False, return_idxs: bool = False,
                max_answer_length: int = 10, agg_strat: str = "opt1",
-               return_sent: bool = False):
+               return_sent: bool = False, vecs_on_device: bool = False):
         query = jnp.asarray(query, jnp.float32)
         s_gids, e_gids, s_scores, e_scores = self.search_dense(
             query, top_k=top_k, nprobe=nprobe)
         outs = self.search_phrase(
             query, s_gids, e_gids, s_scores, e_scores,
             max_answer_length=max_answer_length, return_idxs=return_idxs,
-            return_sent=return_sent)
+            return_sent=return_sent, vecs_on_device=vecs_on_device)
+        if vecs_on_device:
+            return outs  # (results, (start_vecs, end_vecs)) — see search_phrase
         if aggregate:
             q_texts = q_texts if q_texts is not None else [None] * len(outs)
             outs = [

@@ -112,6 +112,44 @@ def annotate_candidates(results: List[List[dict]], answers: List[List[str]],
     return start_vecs, end_vecs, targets, p_targets, cand_mask
 
 
+def annotate_candidate_cols(results: List[List[dict]],
+                            answers: List[List[str]],
+                            titles: Optional[List[List[str]]] = None,
+                            regex: bool = False, n_cands: int = 200):
+    """Target annotation for the vecs-on-device search path.
+
+    Like ``annotate_candidates`` but never touches vectors: each result
+    dict carries ``cand_col`` (its column in the device-resident
+    [B, 2K, D] candidate arrays), so this returns (cand_cols, targets,
+    p_targets, cand_mask) — all [B, n_cands] — and the train step gathers
+    the vectors it needs on device. Host work is pure string matching."""
+    match_fn = drqa_regex_match_score if regex else drqa_exact_match_score
+    b = len(results)
+    cand_cols = np.zeros((b, n_cands), np.int32)
+    targets = np.zeros((b, n_cands), bool)
+    p_targets = np.zeros((b, n_cands), bool)
+    cand_mask = np.zeros((b, n_cands), bool)
+
+    for bi, ret in enumerate(results):
+        golds = answers[bi]
+        gold_titles = ([normalize_answer(t) for t in titles[bi]]
+                       if titles is not None else None)
+        for ci, r in enumerate(ret[:n_cands]):
+            cand_cols[bi, ci] = r["cand_col"]
+            cand_mask[bi, ci] = True
+            if golds and drqa_metric_max_over_ground_truths(
+                    match_fn, r["answer"], golds):
+                targets[bi, ci] = True
+            if gold_titles is not None and r.get("title"):
+                if any(normalize_answer(t) in gold_titles for t in r["title"]):
+                    p_targets[bi, ci] = True
+            elif golds:
+                if any(normalize_answer(g) in normalize_answer(r["context"])
+                       for g in golds):
+                    p_targets[bi, ci] = True
+    return cand_cols, targets, p_targets, cand_mask
+
+
 def make_query_train_step(config: BertConfig, optimizer, label_strat: str,
                           attn_impl: str = "auto"):
     """Jitted step updating ONLY query-tower params.
@@ -129,10 +167,17 @@ def make_query_train_step(config: BertConfig, optimizer, label_strat: str,
             params.update(qp)
             t = batch["targets"] if use_phrase else jnp.zeros_like(batch["targets"])
             pt = batch["p_targets"] if use_doc else jnp.zeros_like(batch["p_targets"])
+            sv, ev = batch["start_vecs"], batch["end_vecs"]
+            if "cand_cols" in batch:
+                # vecs-on-device path: sv/ev are the raw [B, 2K, D] search
+                # outputs; gather the annotated candidate order on device
+                cols = batch["cand_cols"][..., None]
+                sv = jnp.take_along_axis(sv, cols, axis=1)
+                ev = jnp.take_along_axis(ev, cols, axis=1)
             loss, top1 = query_loss(
                 params, config,
                 batch["query_input_ids"], batch["query_attention_mask"],
-                batch["start_vecs"], batch["end_vecs"],
+                sv, ev,
                 t, pt, cand_mask=batch["cand_mask"],
                 deterministic=False, dropout_rng=rng, attn_impl=attn_impl)
             return loss, top1
@@ -201,13 +246,17 @@ def train_query_encoder(
             qs = [questions[i] for i in idx]
             golds = [answers[i] for i in idx]
 
-            # --- retrieve with the frozen towers (ref: get_top_phrases)
+            # --- retrieve with the frozen towers (ref: get_top_phrases).
+            # Candidate vectors stay ON DEVICE ([B, 2K, D] straight from the
+            # rescore kernel); the host only annotates the small text fields
+            # and sends back a [B, C] column gather — on an asymmetric
+            # tunnel this saves a ~B·K·D·8-byte round trip per batch.
             model.params = searcher_params
             qvec = model.query2vec(qs)
-            results = model.mips.search(
-                qvec, q_texts=qs, top_k=cfg.top_k, return_idxs=True,
+            results, (sv_dev, ev_dev) = model.mips.search(
+                qvec, q_texts=qs, top_k=cfg.top_k, vecs_on_device=True,
                 max_answer_length=cfg.max_answer_length)
-            sv, ev, t, pt, cm = annotate_candidates(
+            cols, t, pt, cm = annotate_candidate_cols(
                 results, golds, regex=cfg.regex, n_cands=n_cands)
             if not t.any() and not pt.any():
                 continue  # ref skips batches with no targets (encoder.py:377)
@@ -219,7 +268,8 @@ def train_query_encoder(
                     np.stack([f.input_ids for f in feats])),
                 "query_attention_mask": jnp.asarray(
                     np.stack([f.attention_mask for f in feats])),
-                "start_vecs": jnp.asarray(sv), "end_vecs": jnp.asarray(ev),
+                "start_vecs": sv_dev, "end_vecs": ev_dev,
+                "cand_cols": jnp.asarray(cols),
                 "targets": jnp.asarray(t), "p_targets": jnp.asarray(pt),
                 "cand_mask": jnp.asarray(cm),
             }

@@ -68,3 +68,35 @@ def test_query_ft_improves_retrieval(qft_setup):
     # or dev EM improved); with a tiny random encoder we accept either signal
     assert history["loss"][-1] <= history["loss"][0] * 1.05 or after >= before
     assert len(history["dev_em"]) == cfg.epochs
+
+
+def test_vecs_on_device_matches_attached(qft_setup):
+    # The device-resident candidate arrays, gathered by cand_col, must
+    # reproduce the vectors the return_idxs path attaches to result dicts.
+    import jax.numpy as jnp
+
+    from densephrases_tpu.train.query import annotate_candidate_cols
+
+    model, qa = qft_setup
+    qs = [q for q, _ in qa]
+    golds = [a for _, a in qa]
+    qvec = model.query2vec(qs)
+    ref = model.mips.search(qvec, top_k=10, return_idxs=True,
+                            max_answer_length=5)
+    results, (sv_dev, ev_dev) = model.mips.search(
+        qvec, top_k=10, vecs_on_device=True, max_answer_length=5)
+    assert sv_dev.shape[1] == 20 and ev_dev.shape[1] == 20
+    cols, t, pt, cm = annotate_candidate_cols(results, golds, n_cands=20)
+    sv = np.asarray(jnp.take_along_axis(
+        sv_dev, jnp.asarray(cols)[..., None], axis=1))
+    ev = np.asarray(jnp.take_along_axis(
+        ev_dev, jnp.asarray(cols)[..., None], axis=1))
+    for bi in range(len(qs)):
+        for ci, r in enumerate(ref[bi][:20]):
+            np.testing.assert_allclose(sv[bi, ci], r["start_vec"], atol=1e-5)
+            np.testing.assert_allclose(ev[bi, ci], r["end_vec"], atol=1e-5)
+    # annotation itself must agree with the attached-vector variant
+    _, _, t2, pt2, cm2 = annotate_candidates(ref, golds, n_cands=20)
+    np.testing.assert_array_equal(t, t2)
+    np.testing.assert_array_equal(pt, pt2)
+    np.testing.assert_array_equal(cm, cm2)
