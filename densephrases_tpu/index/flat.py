@@ -197,16 +197,30 @@ class FlatIndex:
                 return search_fn
 
             if self.backend == "pallas":
-                from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
+                # two-phase selection-free kernel (flat_scan_pallas notes):
+                # phase 1 streams the corpus emitting subtile maxima only,
+                # phase 2 rescores the top-M subtiles exactly in XLA
+                from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk2
 
                 def search_fn(queries, top_k: int):
                     # chunk bounded by VMEM: 2 pipeline buffers of
                     # [chunk, D] int8 + bf16 copies must fit in ~16MB
-                    vals, ids = flat_scan_topk(
+                    vals, ids, _ok = flat_scan_topk2(
                         queries, self.codes, jnp.int32(n_total), offset,
                         scale, top_k=top_k, chunk=min(chunk, 4096),
                         interpret=(jax.default_backend() != "tpu"))
                     return vals, ids  # int32: per-device rows << 2^31
+                return search_fn
+
+            if self.backend == "pallas_v1":
+                from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
+
+                def search_fn(queries, top_k: int):
+                    vals, ids = flat_scan_topk(
+                        queries, self.codes, jnp.int32(n_total), offset,
+                        scale, top_k=top_k, chunk=min(chunk, 4096),
+                        interpret=(jax.default_backend() != "tpu"))
+                    return vals, ids
                 return search_fn
 
             def search_fn(queries, top_k: int):

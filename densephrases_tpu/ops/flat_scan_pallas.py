@@ -115,3 +115,107 @@ def flat_scan_topk(queries, codes, n_valid, offset: float, scale: float,
     out_v, pos = jax.lax.top_k(vals, top_k)
     out_i = jnp.take_along_axis(ids, pos, axis=1)
     return out_v, out_i
+
+
+# ---------------------------------------------------------------------------
+# Two-phase scan: the selection-free formulation.
+#
+# The single-kernel scan above spends O(K · B · R) VPU work on its iterative
+# K-selection — at R = 10^6+ that dominates the bandwidth-bound matmul and
+# loses to XLA. The two-phase version keeps the kernel selection-free:
+#
+#   phase 1 (Pallas): stream the corpus once, MXU matmul, ONE reduction pass
+#     emitting per-SUB-row-subtile maxima [B, R/SUB] — nothing else. This is
+#     the whole corpus read at speed-of-light: no score tile, no K loop.
+#   phase 2 (XLA):   top-M subtile maxima per query (M = m_factor·K), gather
+#     those M code blocks ([B, M, SUB, D] int8 — tiny), rescore exactly,
+#     top-k over the M·SUB candidates.
+#
+# Exactness: let τ be the (M+1)-th largest subtile max. Every *excluded*
+# subtile has max ≤ τ, so if the returned k-th score ≥ τ, no excluded row
+# can enter the top-k — the result is provably exact. The returned `ok`
+# mask reports this per query; on real (even mildly concentrated) data it
+# holds at m_factor=4. Callers wanting a hard guarantee re-run with a
+# larger m_factor on ok=False (FlatIndex does not by default: checking
+# costs a device sync, and tests pin ok=True on representative data).
+# ---------------------------------------------------------------------------
+
+
+def _submax_kernel(q_ref, qsum_ref, nvalid_ref, codes_ref, submax_ref,
+                   *, chunk: int, sub: int, scale: float):
+    i = pl.program_id(0)
+    q = q_ref[...]  # [B, D] bf16
+    codes = codes_ref[...]  # [CHUNK, D] int8
+    s = jax.lax.dot_general(
+        q, codes.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [B, CHUNK]
+    s = s * (1.0 / scale) + qsum_ref[...][:, None]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * chunk
+    s = jnp.where(col < nvalid_ref[0], s, NEG_INF)
+    b = s.shape[0]
+    submax_ref[...] = jnp.max(s.reshape(b, chunk // sub, sub), axis=-1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("top_k", "chunk", "sub", "m_factor",
+                                    "interpret", "offset", "scale"))
+def flat_scan_topk2(queries, codes, n_valid, offset: float, scale: float,
+                    *, top_k: int, chunk: int = 32768, sub: int = 128,
+                    m_factor: int = 4, interpret: bool = False):
+    """Two-phase exact MIPS top-k. queries [B, D] f32; codes [R, D] int8,
+    R % chunk == 0, chunk % sub == 0. Returns (vals [B, K], ids [B, K] i32,
+    ok [B] bool) — ok certifies per-query exactness (see module notes)."""
+    b, d = queries.shape
+    r = codes.shape[0]
+    n_chunks = r // chunk
+    nsub_total = r // sub
+    qbf = queries.astype(jnp.bfloat16)
+    qsum = (queries.sum(-1) * offset).astype(jnp.float32)
+    nvalid = jnp.full((1,), n_valid, jnp.int32)
+
+    kernel = functools.partial(_submax_kernel, chunk=chunk, sub=sub,
+                               scale=float(scale))
+    submax = pl.pallas_call(
+        kernel,
+        grid=(n_chunks,),
+        in_specs=[
+            pl.BlockSpec((b, d), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,), lambda i: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((chunk, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((b, chunk // sub), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, nsub_total), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * r * d,
+            bytes_accessed=r * d + b * d * 4 + b * nsub_total * 4,
+            transcendentals=0,
+        ),
+    )(qbf, qsum, nvalid, codes)
+
+    # ---- phase 2: rescore the top-M subtiles exactly (plain XLA: the
+    # gather is B·M·SUB rows — microscopic next to the phase-1 stream)
+    m = min(m_factor * top_k, nsub_total)
+    _, sub_ids = jax.lax.top_k(submax, m)  # [B, M]
+    blocks = codes.reshape(nsub_total, sub, d)[sub_ids]  # [B, M, SUB, D] i8
+    s = jnp.einsum("bmsd,bd->bms", blocks.astype(jnp.bfloat16), qbf,
+                   preferred_element_type=jnp.float32)
+    s = s * (1.0 / float(scale)) + qsum[:, None, None]
+    rows = sub_ids[..., None] * sub + jnp.arange(sub)  # [B, M, SUB]
+    s = jnp.where(rows < n_valid, s, NEG_INF)
+    out_v, pos = jax.lax.top_k(s.reshape(b, m * sub), top_k)
+    out_i = jnp.take_along_axis(rows.reshape(b, m * sub), pos, axis=1)
+
+    if m < nsub_total:
+        # τ = (M+1)-th largest subtile max bounds every excluded subtile's
+        # elements from above ⇒ exact iff the returned k-th score ≥ τ
+        tau = jax.lax.top_k(submax, m + 1)[0][:, -1]
+        ok = out_v[:, -1] >= tau
+    else:
+        ok = jnp.ones((b,), bool)
+    return out_v, out_i.astype(jnp.int32), ok
