@@ -73,9 +73,14 @@ class FusedServer:
         self.index = index
         self.chunk = chunk or index.chunk
 
-    def search(self, queries, top_k: int = 10, max_answer_length: int = 10,
+    def submit(self, queries, top_k: int = 10, max_answer_length: int = 10,
                aggregate: bool = True, agg_strat: str = "opt1",
                return_sent: bool = False, truecase: bool = True):
+        """Tokenize + dispatch without blocking. JAX dispatch is async, so
+        the returned handle's device arrays are still being computed; pass
+        it to ``collect`` to block and assemble. Submitting batch i+1
+        before collecting batch i keeps the device queue full — under load
+        this hides dispatch/tunnel latency behind compute."""
         from densephrases_tpu.data.features import convert_questions_to_features
 
         model = self.model
@@ -100,13 +105,41 @@ class FusedServer:
             config=model.config, top_k=top_k,
             max_answer_length=max_answer_length, chunk=self.chunk,
             attn_impl=model.attn_impl)
-        # ONE device→host transfer for everything stage 3 needs
-        res, s_gids, e_gids = jax.device_get((res, s_gids, e_gids))
+        return {"res": res, "s_gids": s_gids, "e_gids": e_gids,
+                "queries": queries, "top_k": top_k, "aggregate": aggregate,
+                "agg_strat": agg_strat, "return_sent": return_sent}
 
+    def collect(self, handle):
+        """Block on a ``submit`` handle and assemble result dicts."""
+        # ONE device→host transfer for everything stage 3 needs
+        res, s_gids, e_gids = jax.device_get(
+            (handle["res"], handle["s_gids"], handle["e_gids"]))
         outs = self.mips._assemble(res, np.asarray(s_gids),
                                    np.asarray(e_gids), return_idxs=False,
-                                   return_sent=return_sent)
-        if aggregate:
-            outs = [self.mips.aggregate_results(r, top_k, q, agg_strat)
-                    for r, q in zip(outs, queries)]
+                                   return_sent=handle["return_sent"])
+        if handle["aggregate"]:
+            outs = [self.mips.aggregate_results(
+                        r, handle["top_k"], q, handle["agg_strat"])
+                    for r, q in zip(outs, handle["queries"])]
+        return outs
+
+    def search(self, queries, top_k: int = 10, max_answer_length: int = 10,
+               aggregate: bool = True, agg_strat: str = "opt1",
+               return_sent: bool = False, truecase: bool = True):
+        return self.collect(self.submit(
+            queries, top_k=top_k, max_answer_length=max_answer_length,
+            aggregate=aggregate, agg_strat=agg_strat,
+            return_sent=return_sent, truecase=truecase))
+
+    def search_pipelined(self, query_batches, depth: int = 2, **kwargs):
+        """Serve a stream of query batches with `depth` dispatches in
+        flight (steady-state server-under-load throughput: host assembly
+        of batch i overlaps device compute of batches i+1..i+depth)."""
+        handles, outs = [], []
+        for qb in query_batches:
+            handles.append(self.submit(qb, **kwargs))
+            if len(handles) >= depth:
+                outs.append(self.collect(handles.pop(0)))
+        while handles:
+            outs.append(self.collect(handles.pop(0)))
         return outs

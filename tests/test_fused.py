@@ -45,3 +45,20 @@ def test_fused_matches_modular(setup):
         assert len(sf & sm) >= min(len(sf), len(sm)) * 0.8
         for r in rf:
             assert r["answer"] == r["context"][r["start_pos"]:r["end_pos"]]
+
+
+def test_pipelined_matches_sync(setup):
+    model = setup
+    fused = FusedServer(model)
+    batches = [["what is topic three", "words to embed"],
+               ["document text", "topic five here"],
+               ["several words", "embed here now"]]
+    ref = [fused.search(b, top_k=4, aggregate=True) for b in batches]
+    out = fused.search_pipelined(batches, depth=2, top_k=4, aggregate=True)
+    assert len(out) == len(ref)
+    for o, r in zip(out, ref):
+        for ro, rr in zip(o, r):
+            assert [(x["doc_idx"], x["start_idx"], x["end_idx"])
+                    for x in ro] == \
+                   [(x["doc_idx"], x["start_idx"], x["end_idx"])
+                    for x in rr]
