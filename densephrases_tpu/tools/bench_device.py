@@ -103,6 +103,21 @@ def main():
     res["scan_2x%d_ms" % b] = round(1000 * t, 3)
     res["scan_gbps"] = round(args.n * 768 / t / 1e9, 1)
 
+    # ---- two-phase Pallas scan (selection-free kernel + exact rescore)
+    from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk2
+
+    scan2 = jax.jit(lambda q_: flat_scan_topk2(
+        q_, flat.codes, jnp.int32(args.n), flat.offset, flat.scale,
+        top_k=10, chunk=4096))
+    v2, i2, ok2 = scan2(q)
+    res["scan2_exact_pct"] = round(100 * float(np.asarray(ok2).mean()), 1)
+    v1, i1 = scan(q)
+    res["scan2_id_agreement"] = round(
+        float((np.asarray(i1) == np.asarray(i2)).mean()), 4)
+    t = pipeline_time(lambda: scan2(q))
+    res["scan2_2x%d_ms" % b] = round(1000 * t, 3)
+    res["scan2_gbps"] = round(args.n * 768 / t / 1e9, 1)
+
     # ---- fused serve step (encode + scan + rescore, one dispatch)
     from densephrases_tpu.serve.fused import _fused_serve
 
@@ -146,21 +161,30 @@ def main():
         "end_positions": jnp.asarray(rng.integers(1, l - 1, (bt,)),
                                      jnp.int32),
     }
-    step = make_train_step(config, RCLossConfig(lambda_neg=1.0,
-                                                lambda_flt=1.0), opt)
     key = jax.random.PRNGKey(0)
-
-    new_state, _ = step(state, batch, key)  # compile
-    jax.block_until_ready(new_state.params["filter"]["b"])
-    t0 = time.perf_counter()
-    k = 8
-    for _ in range(k):
-        new_state, metrics = step(new_state, batch, key)
-    jax.block_until_ready(new_state.params["filter"]["b"])
-    t = (time.perf_counter() - t0) / k
-    res["train_step_ms"] = round(1000 * t, 1)
-    fl = xla_flops(step, state, batch, key)
-    res["train_mfu"] = round(fl / t / (PEAK_TFLOPS * 1e12), 4) if fl else None
+    # remat sweep: at BERT-base b24/L384 activations fit in HBM, so "none"
+    # skips the recompute FLOPs "full" pays. MFU always divides by the
+    # MODEL flops (the remat-free program's count) — recompute is overhead,
+    # not useful work.
+    fl_model = None
+    for remat in ("none", "dots", "full"):
+        step = make_train_step(config, RCLossConfig(lambda_neg=1.0,
+                                                    lambda_flt=1.0), opt,
+                               remat=remat)
+        new_state, _ = step(state, batch, key)  # compile
+        jax.block_until_ready(new_state.params["filter"]["b"])
+        t0 = time.perf_counter()
+        k = 8
+        for _ in range(k):
+            new_state, metrics = step(new_state, batch, key)
+        jax.block_until_ready(new_state.params["filter"]["b"])
+        t = (time.perf_counter() - t0) / k
+        if fl_model is None:
+            fl_model = xla_flops(step, state, batch, key)
+        suffix = "" if remat == "full" else f"_{remat}"
+        res[f"train_step_ms{suffix}"] = round(1000 * t, 1)
+        res[f"train_mfu{suffix}"] = (
+            round(fl_model / t / (PEAK_TFLOPS * 1e12), 4) if fl_model else None)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
