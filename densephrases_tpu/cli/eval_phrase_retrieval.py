@@ -51,7 +51,13 @@ def load_model(opts: Options) -> DensePhrases:
         else:
             index = TieredFlatIndex(store.vecs, store.offset, store.scale)
     else:
-        index = IVFIndex.load(index_dir) if have_ivf else None
+        if have_ivf:
+            index = IVFIndex.load(index_dir)
+        else:
+            from densephrases_tpu.index.flat import FlatIndex
+
+            index = FlatIndex(np.asarray(store.vecs), store.offset,
+                              store.scale, backend=r.scan_backend)
     mips = MIPS(store, index=index)
     truecase = TrueCaser(r.truecase_path) if (r.truecase and r.truecase_path
                                               and os.path.exists(r.truecase_path)) else None
