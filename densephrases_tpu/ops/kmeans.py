@@ -214,6 +214,83 @@ def sort_children(centroids: np.ndarray, l1_centroids: np.ndarray):
     return centroids[order], offsets, order
 
 
+@functools.partial(jax.jit, static_argnames=("iters",))
+def _batched_lloyd(X, C0, iters: int):
+    """G independent Lloyd runs in ONE dispatch. X [G, N, D] f32,
+    C0 [G, K, D] f32 → [G, K, D].
+
+    The point is dispatch latency: driving G sub-k-means runs from the
+    host costs G·iters round-trips (observed to dominate the two-level
+    build wall-clock on high-latency links); batching makes it one.
+    Empty clusters keep their previous centroid (rare at these sizes —
+    host-side reseeding is not worth a round-trip here)."""
+
+    k = C0.shape[1]
+
+    def body(_, C):
+        Xb = X.astype(jnp.bfloat16)
+        dots = jnp.einsum("gnd,gkd->gnk", Xb, C.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+        c_sq = jnp.sum(C ** 2, axis=-1)  # [G, K]
+        dist = c_sq[:, None, :] - 2.0 * dots  # [G, N, K]
+        a = jnp.argmin(dist, axis=-1)  # [G, N]
+        oh = jax.nn.one_hot(a, k, dtype=jnp.bfloat16)
+        sums = jnp.einsum("gnk,gnd->gkd", oh, Xb,
+                          preferred_element_type=jnp.float32)
+        counts = jnp.sum(oh.astype(jnp.float32), axis=1)  # [G, K]
+        newC = sums / jnp.maximum(counts[..., None], 1.0)
+        newC = jnp.where(counts[..., None] > 0, newC, C)
+        # reseed empty clusters from the points farthest from their
+        # current centroid (host kmeans reseeds from random data; doing
+        # it in-jit keeps the whole run one dispatch). The e-th empty
+        # cluster takes the e-th farthest point.
+        empty = counts <= 0  # [G, K]
+        min_dist = jnp.min(dist, axis=-1)  # [G, N]
+        _, far = jax.lax.top_k(min_dist, k)  # [G, K] farthest row ids
+        rank = jnp.clip(jnp.cumsum(empty.astype(jnp.int32), axis=1) - 1,
+                        0, k - 1)
+        far_rows = jnp.take_along_axis(far, rank, axis=1)  # [G, K]
+        reseed = jnp.take_along_axis(
+            X, far_rows[..., None], axis=1)  # [G, K, D]
+        return jnp.where(empty[..., None], reseed, newC)
+
+    return jax.lax.fori_loop(0, iters, body, C0)
+
+
+def kmeans_batched(groups, k: int, iters: int = 5, seed: int = 0,
+                   max_group_floats: int = 256 << 20):
+    """Run one k-means per group (all with the same k) on device, batched.
+
+    groups: list of [n_i, D] f32 arrays. Each group is resampled/padded to
+    a shared power-of-two row count (duplicated rows get double weight —
+    harmless for quantizer training, same trick as kmeans(rounded=True)),
+    then G-sized stacks are processed with `_batched_lloyd` — one dispatch
+    per stack instead of one per (group, iteration).
+    Returns a list of [k, D] centroid arrays."""
+    assert groups, "no groups"
+    d = groups[0].shape[1]
+    n_pad = max(1 << int(np.ceil(np.log2(max(max(len(g) for g in groups),
+                                             k, 256)))), k)
+    g_max = max(1, max_group_floats // (n_pad * d))
+    rng = np.random.default_rng(seed)
+    out = []
+    for g0 in range(0, len(groups), g_max):
+        chunk_groups = groups[g0:g0 + g_max]
+        X = np.empty((len(chunk_groups), n_pad, d), np.float32)
+        C0 = np.empty((len(chunk_groups), k, d), np.float32)
+        for gi, g in enumerate(chunk_groups):
+            g = np.asarray(g, np.float32)
+            if len(g) < n_pad:
+                extra = g[rng.integers(0, len(g), n_pad - len(g))]
+                g = np.concatenate([g, extra])
+            X[gi] = g
+            C0[gi] = g[rng.choice(n_pad, size=k, replace=False)]
+        cents = np.asarray(_batched_lloyd(jnp.asarray(X), jnp.asarray(C0),
+                                          iters=iters))
+        out.extend(cents[gi] for gi in range(len(chunk_groups)))
+    return out
+
+
 def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
                      k1: Optional[int] = None, sub_iters: int = 5,
                      verbose: bool = False):
@@ -236,24 +313,35 @@ def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
     k2 = np.maximum(np.round(raw / 8.0) * 8, (counts > 0) * 1).astype(np.int64)
     k2 = np.minimum(k2, counts.astype(np.int64))
 
-    rng = np.random.default_rng(seed + 13)
-    children = []
-    parents_kept = []
-    for p in np.nonzero(k2 > 0)[0]:
+    # Sub-cluster every parent's members. Parents are bucketed by
+    # (child count, power-of-two member count) and each bucket runs as ONE
+    # batched-Lloyd dispatch (kmeans_batched) — per-parent host-driven
+    # k-means costs parents × iters tunnel round-trips and was the
+    # measured wall-clock bottleneck of reference-scale builds.
+    children_by_parent = {}
+    parents_kept = list(np.nonzero(k2 > 0)[0])
+    buckets = {}
+    for p in parents_kept:
         members = x[assign == p]
         kp = int(k2[p])
         if kp >= len(members):  # degenerate: every member is a centroid
-            children.append(members.astype(np.float32))
+            children_by_parent[p] = members.astype(np.float32)
         elif kp <= 1:
-            children.append(members.mean(0, keepdims=True).astype(np.float32))
+            children_by_parent[p] = members.mean(0, keepdims=True).astype(
+                np.float32)
         else:
-            c, _ = kmeans(members, kp, iters=sub_iters, seed=seed + 31 + int(p),
-                          chunk=1024, rounded=True)
-            children.append(c)
-        parents_kept.append(p)
+            nb = 1 << int(np.ceil(np.log2(max(len(members), 256))))
+            buckets.setdefault((kp, nb), []).append((p, members))
+    for bi, ((kp, _nb), entries) in enumerate(sorted(buckets.items())):
+        cents = kmeans_batched([m for _, m in entries], kp, iters=sub_iters,
+                               seed=seed + 31 + bi)
+        for (p, _), c in zip(entries, cents):
+            children_by_parent[p] = c
+    children = [children_by_parent[p] for p in parents_kept]
     if verbose:
-        logger.info("two-level kmeans: k1=%d parents, %d children total",
-                    len(parents_kept), sum(len(c) for c in children))
+        logger.info("two-level kmeans: k1=%d parents, %d children total, "
+                    "%d batched-Lloyd dispatch buckets", len(parents_kept),
+                    sum(len(c) for c in children), len(buckets))
 
     l1_kept = l1[np.asarray(parents_kept)]
     cents = np.concatenate(children, axis=0).astype(np.float32)

@@ -262,3 +262,27 @@ def _rebuild_subs(codes, cfg):
                           seed=cfg.seed + i)
         subs.append(IVFIndex.build(codes[i * 1024:(i + 1) * 1024], sub_cfg))
     return subs
+
+
+def test_kmeans_batched_matches_sequential_quality():
+    """One batched-Lloyd dispatch per bucket must reach the same
+    quantization error as per-group host-driven kmeans."""
+    from densephrases_tpu.ops.kmeans import kmeans, kmeans_batched
+
+    rng = np.random.default_rng(11)
+    groups = []
+    for g in range(5):
+        centers = rng.normal(0, 5, (8, 16)).astype(np.float32)
+        idx = rng.integers(0, 8, 400)
+        groups.append((centers[idx] +
+                       0.2 * rng.normal(size=(400, 16))).astype(np.float32))
+
+    def qerr(x, c):
+        d = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+        return float(d.min(1).mean())
+
+    batched = kmeans_batched(groups, k=8, iters=8, seed=3)
+    for g, cb in zip(groups, batched):
+        assert cb.shape == (8, 16)
+        ref_c, _ = kmeans(g, 8, iters=8, seed=3)
+        assert qerr(g, cb) < 2.0 * qerr(g, ref_c) + 0.1
