@@ -104,6 +104,11 @@ def timed(fn, n_rep: int = 5, warmup: int = 2):
 
 
 def main():
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s: %(message)s")  # build-phase progress
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10 << 20)
     ap.add_argument("--d", type=int, default=768)
