@@ -106,9 +106,11 @@ def timed(fn, n_rep: int = 5, warmup: int = 2):
 def main():
     import logging
 
+    # force=True: jax's import already installed root handlers at WARNING,
+    # which would silently swallow the build-phase INFO progress logs
     logging.basicConfig(
-        level=logging.INFO,
-        format="%(asctime)s %(name)s: %(message)s")  # build-phase progress
+        level=logging.INFO, force=True,
+        format="%(asctime)s %(name)s: %(message)s")
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=10 << 20)
     ap.add_argument("--d", type=int, default=768)
