@@ -40,6 +40,7 @@ from densephrases_tpu.ops.kmeans import (
     accumulate_blocks,
     assign_blocks,
     assign_blocks_hier,
+    assign_corpus_hier,
     kmeans,
     kmeans_two_level,
     sort_children,
@@ -311,7 +312,8 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
                         l1_cents: np.ndarray, assign: np.ndarray,
                         balance_factor: float = 4.0, rounds: int = 3,
                         seed: int = 0, probe: int = 8, verbose: bool = False,
-                        offset: float = 0.0, scale: float = 1.0):
+                        offset: float = 0.0, scale: float = 1.0,
+                        assign_fn=None):
     """Oversized-list splitting for the two-level quantizer: seed extra
     centroids from members of long lists, re-sort ALL children under their
     nearest level-1 parent, and reassign hierarchically (no O(N·k) pass).
@@ -342,8 +344,12 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
             new_cents.append(deq(x[picks]))
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
         centroids, parent_offs, _ = sort_children(centroids, l1_cents)
-        assign = assign_blocks_hier(x, l1_cents, centroids, parent_offs,
-                                    probe=probe, offset=offset, scale=scale)
+        if assign_fn is not None:
+            assign = assign_fn(l1_cents, centroids, parent_offs)
+        else:
+            assign = assign_blocks_hier(x, l1_cents, centroids, parent_offs,
+                                        probe=probe, offset=offset,
+                                        scale=scale)
         if verbose:
             logging.getLogger(__name__).info(
                 "hier balance round: k %d→%d, max list %d", k,
@@ -457,14 +463,34 @@ class IVFIndex:
             centroids, l1_cents, parent_offs = kmeans_two_level(
                 sample, cfg.num_clusters, iters=cfg.kmeans_iters,
                 seed=cfg.seed, verbose=verbose)
-            assign = assign_blocks_hier(
-                codes_int8, l1_cents, centroids, parent_offs,
-                probe=cfg.assign_probe, offset=offset, scale=scale)
+            # Full-corpus assignment: device-resident grouped-matmul path
+            # when the int8 corpus fits the HBM budget (hours → minutes at
+            # 10M+ rows; see ops/kmeans.assign_corpus_hier), else the
+            # streamed per-block fallback.
+            budget = int(float(os.environ.get(
+                "DPH_ASSIGN_DEVICE_BYTES", 9e9)))
+            assign_fn = None
+            codes_dev = None
+            if codes_int8.nbytes <= budget:
+                codes_dev = jnp.asarray(np.asarray(codes_int8))
+
+                def assign_fn(l1_, cents_, offs_):
+                    return assign_corpus_hier(
+                        codes_dev, l1_, cents_, offs_,
+                        probe=cfg.assign_probe, offset=offset, scale=scale)
+
+            if assign_fn is not None:
+                assign = assign_fn(l1_cents, centroids, parent_offs)
+            else:
+                assign = assign_blocks_hier(
+                    codes_int8, l1_cents, centroids, parent_offs,
+                    probe=cfg.assign_probe, offset=offset, scale=scale)
             centroids, _, _, assign = _balance_lists_hier(
                 codes_int8, centroids, l1_cents, assign,
                 balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
                 probe=cfg.assign_probe, verbose=verbose, offset=offset,
-                scale=scale)
+                scale=scale, assign_fn=assign_fn)
+            del codes_dev, assign_fn
         else:
             centroids, _ = kmeans(
                 sample, cfg.num_clusters, iters=cfg.kmeans_iters,

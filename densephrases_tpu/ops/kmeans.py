@@ -449,3 +449,170 @@ def assign_blocks_hier(x: np.ndarray, l1: np.ndarray, centroids: np.ndarray,
 
 def _round_up_mult(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+# --------------------------------------------------------------------------
+# Device-resident hierarchical assignment (reference-scale corpora).
+#
+# `assign_blocks_hier` scores every row against per-row gathered candidate
+# slices with an einsum that is a batched MATVEC — the MXU runs it at a few
+# percent of peak, and at 10M rows a full-corpus pass measured in HOURS.
+# This formulation turns the whole pass into proper matmuls:
+#
+#   1. top-1 parent per row (one [block, k1] matmul — MXU-shaped),
+#   2. device argsort groups rows by parent,
+#   3. each group of `pg` parents is ONE [rows, D] x [D, pg·probe·cap]
+#      matmul against the children of those parents' `probe` nearest
+#      parents (the per-PARENT neighbor set, precomputed from one tiny
+#      [k1, k1] matmul), masked per row to its own parent's neighbor
+#      candidates.
+#
+# Candidate semantics differ slightly from the per-row formulation: a row
+# probes the neighbor set of its top-1 PARENT rather than its own top-probe
+# parents. The two sets agree except for rows whose 2nd..probe-th nearest
+# parents are not among their parent's neighbors — rare, and assignment is
+# a quantizer-training heuristic, not a correctness contract (FAISS's own
+# hierarchical assignment makes the same approximation). Quality is gated
+# by the recall tests, and agreement vs flat assignment is asserted in
+# tests/test_ivf.py.
+#
+# The corpus lives on device ONCE (int8: 4 bytes/dim saved); balance
+# rounds re-run assignment against new centroids without re-uploading.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _top1_parent(codes_dev, l1_eff, *, chunk: int = 8192):
+    """Top-1 parent for every row of the device-resident corpus. [N] i32."""
+    n, d = codes_dev.shape
+    pad = (-n) % chunk
+    if pad:
+        codes_dev = jnp.concatenate(
+            [codes_dev, jnp.zeros((pad, d), codes_dev.dtype)])
+    l1_sq = jnp.sum(l1_eff ** 2, axis=1)
+    l1_bf = l1_eff.astype(jnp.bfloat16)
+
+    def body(_, xb):
+        dots = jax.lax.dot_general(
+            xb.astype(jnp.bfloat16), l1_bf,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return None, jnp.argmin(l1_sq[None, :] - 2.0 * dots,
+                                axis=1).astype(jnp.int32)
+
+    _, out = jax.lax.scan(body, None, codes_dev.reshape(-1, chunk, d))
+    return out.reshape(-1)[:n]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("m_bucket", "pg", "probe", "cap"))
+def _group_assign(codes_dev, order, parent_sorted, start, p0, nbr,
+                  cents_eff, csq_pad, offs, *, m_bucket: int, pg: int,
+                  probe: int, cap: int):
+    """Assign one group of `pg` consecutive parents' rows.
+
+    Gathers the group's rows from the device corpus, scores them against
+    the children of the group's neighbor parents with ONE matmul, masks
+    each row down to its own parent's neighbor candidates, and returns
+    (best child gid [m_bucket], its distance) — caller keeps the first
+    `m` entries."""
+    d = codes_dev.shape[1]
+    rows_idx = jax.lax.dynamic_slice(order, (start,), (m_bucket,))
+    rows = codes_dev[rows_idx].astype(jnp.bfloat16)  # [m, d]
+    row_par = jax.lax.dynamic_slice(parent_sorted, (start,), (m_bucket,))
+    row_slot = row_par - p0  # [m] in [0, pg) for valid rows
+
+    # candidate children: for each (slot s, rank r) the child range of
+    # parent nbr[p0+s, r] — pg*probe contiguous slices of cap rows
+    qs = jax.lax.dynamic_slice(nbr, (p0, 0), (pg, probe)).reshape(-1)
+    c_offs = offs[qs]  # [pg*probe]
+    c_lens = offs[qs + 1] - c_offs
+    cand = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(cents_eff, (o, 0), (cap, d))
+    )(c_offs)  # [pg*probe, cap, d]
+    csq = jax.vmap(
+        lambda o: jax.lax.dynamic_slice(csq_pad, (o,), (cap,))
+    )(c_offs)  # [pg*probe, cap]
+    col = jnp.arange(cap, dtype=jnp.int32)
+    csq = jnp.where(col[None, :] < c_lens[:, None], csq, jnp.inf)
+
+    dots = jax.lax.dot_general(
+        rows, cand.reshape(pg * probe * cap, d).astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)  # [m, pg*probe*cap]
+    dist = csq.reshape(-1)[None, :] - 2.0 * dots
+    # row may only take candidates of its own parent's neighbor blocks
+    slot_of_cand = jnp.repeat(jnp.arange(pg, dtype=jnp.int32), probe * cap)
+    dist = jnp.where(slot_of_cand[None, :] == row_slot[:, None], dist,
+                     jnp.inf)
+    j = jnp.argmin(dist, axis=1)
+    gid = (c_offs[j // cap] + (j % cap)).astype(jnp.int32)
+    return gid
+
+
+def assign_corpus_hier(codes_dev, l1: np.ndarray, centroids: np.ndarray,
+                       offsets: np.ndarray, probe: int = 8, pg: int = 2,
+                       offset: float = 0.0, scale: float = 1.0) -> np.ndarray:
+    """Full-corpus hierarchical assignment with a device-resident corpus.
+
+    codes_dev: [N, d] device array (int8 raw codes or f32). Returns int32
+    [N] indices into the sorted-centroid array. See module notes above for
+    the formulation; `pg` trades dispatch count against wasted flops."""
+    import jax as _jax
+
+    n, d = codes_dev.shape
+    quant = codes_dev.dtype == jnp.int8
+    tf = (lambda c: ((c - offset) * scale).astype(np.float32)) if quant \
+        else (lambda c: c.astype(np.float32))
+    k1 = l1.shape[0]
+    probe = min(probe, k1)
+    lens = np.diff(offsets)
+    cap = int(_round_up_mult(max(int(lens.max()), 8), 8))
+    k = centroids.shape[0]
+
+    l1_eff = tf(l1)
+    # parent neighbor sets from one [k1, k1] distance matrix (tiny)
+    l1sq = np.sum(l1_eff ** 2, axis=1)
+    pdist = l1sq[None, :] - 2.0 * (l1_eff @ l1_eff.T)
+    nbr = np.argsort(pdist, axis=1)[:, :probe].astype(np.int32)  # [k1, P]
+
+    cents_eff = np.concatenate(
+        [tf(centroids), np.zeros((cap, d), np.float32)])
+    csq_pad = np.concatenate(
+        [np.sum(cents_eff[:k] ** 2, axis=1), np.full(cap, np.inf, np.float32)])
+
+    l1_dev = jnp.asarray(l1_eff)
+    nbr_dev = jnp.asarray(nbr)
+    cents_dev = jnp.asarray(cents_eff)
+    csq_dev = jnp.asarray(csq_pad)
+    offs_dev = jnp.asarray(offsets.astype(np.int32))
+
+    parent = _top1_parent(codes_dev, l1_dev, chunk=8192)
+    order = jnp.argsort(parent)
+    parent_sorted = parent[order]
+    counts = np.bincount(np.asarray(parent), minlength=k1)
+    ranges = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+
+    out_parts = []  # (start, m, device result) — collected after dispatch
+    for g0 in range(0, k1, pg):
+        p0 = g0
+        start = int(ranges[g0])
+        m = int(ranges[min(g0 + pg, k1)] - start)
+        if m == 0:
+            continue
+        m_bucket = 1 << int(np.ceil(np.log2(max(m, 512))))
+        m_bucket = min(m_bucket, n)
+        start_c = min(start, n - m_bucket)  # clamp: tail rows masked below
+        gid = _group_assign(
+            codes_dev, order, parent_sorted, jnp.int32(start_c),
+            jnp.int32(p0), nbr_dev, cents_dev, csq_dev, offs_dev,
+            m_bucket=m_bucket, pg=min(pg, k1 - g0), probe=probe, cap=cap)
+        out_parts.append((start, start_c, m, gid))
+
+    assign_sorted = np.empty(n, np.int32)
+    for start, start_c, m, gid in out_parts:
+        g = np.asarray(gid)
+        assign_sorted[start:start + m] = g[start - start_c:start - start_c + m]
+    out = np.empty(n, np.int32)
+    out[np.asarray(order)] = assign_sorted
+    return out

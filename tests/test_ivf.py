@@ -286,3 +286,57 @@ def test_kmeans_batched_matches_sequential_quality():
         assert cb.shape == (8, 16)
         ref_c, _ = kmeans(g, 8, iters=8, seed=3)
         assert qerr(g, cb) < 2.0 * qerr(g, ref_c) + 0.1
+
+
+def test_assign_corpus_hier_agrees_with_blockwise():
+    """Device-resident grouped assignment vs the streamed per-row path:
+    both are probe heuristics for the same quantizer — they must agree on
+    the overwhelming majority of rows and produce identical list shapes."""
+    import jax.numpy as jnp
+
+    from densephrases_tpu.ops.kmeans import (
+        assign_blocks_hier,
+        assign_corpus_hier,
+        kmeans_two_level,
+    )
+
+    rng = np.random.default_rng(21)
+    centers = rng.normal(0, 3, (64, 32)).astype(np.float32)
+    x = (centers[rng.integers(0, 64, 20000)] +
+         0.3 * rng.normal(size=(20000, 32))).astype(np.float32)
+    cents, l1, offs = kmeans_two_level(x, k=256, iters=4, seed=0)
+    a_block = assign_blocks_hier(x, l1, cents, offs, probe=8)
+    a_dev = assign_corpus_hier(jnp.asarray(x), l1, cents, offs, probe=8)
+    agree = (a_block == a_dev).mean()
+    assert agree > 0.97, agree
+    # every assignment must be a valid child of some parent range
+    assert (a_dev >= 0).all() and (a_dev < cents.shape[0]).all()
+
+
+def test_assign_corpus_hier_int8_contract():
+    from densephrases_tpu.ops.kmeans import (
+        assign_blocks_hier,
+        assign_corpus_hier,
+        kmeans_two_level,
+    )
+    from densephrases_tpu.ops.quant import float_to_int8, int8_to_float
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(22)
+    centers = rng.normal(-2, 1, (32, 16)).astype(np.float32)
+    xf = (centers[rng.integers(0, 32, 5000)] +
+          0.2 * rng.normal(size=(5000, 16))).astype(np.float32)
+    codes = float_to_int8(xf)
+    cents, l1, offs = kmeans_two_level(int8_to_float(codes), k=64,
+                                       iters=4, seed=1)
+    a_f = assign_corpus_hier(jnp.asarray(int8_to_float(codes)), l1, cents,
+                             offs, probe=4)
+    a_q = assign_corpus_hier(jnp.asarray(codes), l1, cents, offs, probe=4,
+                             offset=-2.0, scale=20.0)
+    # affine-equivariant L2: ids agree except bf16 near-ties, and the
+    # quantization error (the quantity that matters) is identical
+    assert (a_f == a_q).mean() > 0.9
+    xf2 = int8_to_float(codes)
+    e_f = ((xf2 - cents[a_f]) ** 2).sum(1).mean()
+    e_q = ((xf2 - cents[a_q]) ** 2).sum(1).mean()
+    assert abs(e_f - e_q) < 0.02 * max(e_f, 1e-6)
