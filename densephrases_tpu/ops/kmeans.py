@@ -321,8 +321,12 @@ def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
     children_by_parent = {}
     parents_kept = list(np.nonzero(k2 > 0)[0])
     buckets = {}
+    # one argsort + contiguous slices instead of a full boolean scan of x
+    # per parent (k1 × O(sample) host traffic adds up at reference scale)
+    order = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order], np.arange(k1 + 1))
     for p in parents_kept:
-        members = x[assign == p]
+        members = x[order[bounds[p]:bounds[p + 1]]]
         kp = int(k2[p])
         if kp >= len(members):  # degenerate: every member is a centroid
             children_by_parent[p] = members.astype(np.float32)
