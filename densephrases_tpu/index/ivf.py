@@ -41,6 +41,7 @@ from densephrases_tpu.ops.kmeans import (
     assign_blocks,
     assign_blocks_hier,
     assign_corpus_hier,
+    assign_hier_streamed,
     kmeans,
     kmeans_two_level,
     sort_children,
@@ -469,7 +470,6 @@ class IVFIndex:
             # streamed per-block fallback.
             budget = int(float(os.environ.get(
                 "DPH_ASSIGN_DEVICE_BYTES", 9e9)))
-            assign_fn = None
             codes_dev = None
             if codes_int8.nbytes <= budget:
                 codes_dev = jnp.asarray(np.asarray(codes_int8))
@@ -478,13 +478,14 @@ class IVFIndex:
                     return assign_corpus_hier(
                         codes_dev, l1_, cents_, offs_,
                         probe=cfg.assign_probe, offset=offset, scale=scale)
-
-            if assign_fn is not None:
-                assign = assign_fn(l1_cents, centroids, parent_offs)
             else:
-                assign = assign_blocks_hier(
-                    codes_int8, l1_cents, centroids, parent_offs,
-                    probe=cfg.assign_probe, offset=offset, scale=scale)
+                # beyond-HBM: stream blocks through the same grouped path
+                def assign_fn(l1_, cents_, offs_):
+                    return assign_hier_streamed(
+                        codes_int8, l1_, cents_, offs_,
+                        probe=cfg.assign_probe, offset=offset, scale=scale)
+
+            assign = assign_fn(l1_cents, centroids, parent_offs)
             centroids, _, _, assign = _balance_lists_hier(
                 codes_int8, centroids, l1_cents, assign,
                 balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,

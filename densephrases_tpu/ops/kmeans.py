@@ -620,3 +620,25 @@ def assign_corpus_hier(codes_dev, l1: np.ndarray, centroids: np.ndarray,
     out = np.empty(n, np.int32)
     out[np.asarray(order)] = assign_sorted
     return out
+
+
+def assign_hier_streamed(x: np.ndarray, l1: np.ndarray,
+                         centroids: np.ndarray, offsets: np.ndarray,
+                         probe: int = 8, pg: int = 2,
+                         offset: float = 0.0, scale: float = 1.0,
+                         block_bytes: int = 4 << 30) -> np.ndarray:
+    """Beyond-HBM variant of ``assign_corpus_hier``: streams the corpus in
+    device-sized blocks and runs the grouped-matmul assignment per block.
+    Same candidate semantics; HBM holds one block + centroids at a time.
+    This is the reference-scale (10^9-vector) assignment path."""
+    n, d = x.shape
+    rows_per_block = max(int(block_bytes // max(x.dtype.itemsize * d, 1)),
+                         1 << 16)
+    out = np.empty(n, np.int32)
+    for b0 in range(0, n, rows_per_block):
+        xb = jnp.asarray(np.ascontiguousarray(x[b0:b0 + rows_per_block]))
+        out[b0:b0 + xb.shape[0]] = assign_corpus_hier(
+            xb, l1, centroids, offsets, probe=probe, pg=pg,
+            offset=offset, scale=scale)
+        del xb
+    return out

@@ -340,3 +340,23 @@ def test_assign_corpus_hier_int8_contract():
     e_f = ((xf2 - cents[a_f]) ** 2).sum(1).mean()
     e_q = ((xf2 - cents[a_q]) ** 2).sum(1).mean()
     assert abs(e_f - e_q) < 0.02 * max(e_f, 1e-6)
+
+
+def test_assign_hier_streamed_matches_device():
+    from densephrases_tpu.ops.kmeans import (
+        assign_corpus_hier,
+        assign_hier_streamed,
+        kmeans_two_level,
+    )
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(23)
+    centers = rng.normal(0, 3, (16, 16)).astype(np.float32)
+    x = (centers[rng.integers(0, 16, 6000)] +
+         0.3 * rng.normal(size=(6000, 16))).astype(np.float32)
+    cents, l1, offs = kmeans_two_level(x, k=64, iters=3, seed=2)
+    a_dev = assign_corpus_hier(jnp.asarray(x), l1, cents, offs, probe=4)
+    # tiny block size forces multiple streamed blocks
+    a_str = assign_hier_streamed(x, l1, cents, offs, probe=4,
+                                 block_bytes=1)
+    np.testing.assert_array_equal(a_dev, a_str)
