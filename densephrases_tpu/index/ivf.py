@@ -258,6 +258,67 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     return vals, gids
 
 
+def _split_centroid(c: np.ndarray, n_extra: int, eps: float = 1e-2):
+    """Geometric cluster split: n_extra ε-scaled copies of centroid c.
+
+    Seeding splits from member POINTS fails in high dimension — every
+    member of an isotropic blob is closer to the blob MEAN than to any
+    other member (E‖x−m‖ = σ√d vs E‖x−x'‖ = σ√(2d)), so no row ever
+    reassigns. Scaled copies c·(1 ± jε) partition by the x·c projection
+    instead — effective for genuinely multi-modal lists, but a TIGHT blob
+    (spread below the bf16 score resolution) still may not split; the
+    build's backstop for those is ``_force_partition``."""
+    j = np.arange(1, n_extra + 1, dtype=np.float32)
+    sgn = np.where(j % 2 == 0, 1.0, -1.0)
+    f = 1.0 + sgn * eps * np.ceil(j / 2)
+    return c[None, :] * f[:, None]
+
+
+def _force_partition(centroids: np.ndarray, assign: np.ndarray, cap: float,
+                     l1_cents: Optional[np.ndarray] = None):
+    """Deterministic backstop for lists geometric splitting cannot break.
+
+    Any list longer than ``cap`` has its member ROWS partitioned directly
+    into cap-sized parts under duplicated centroids. Duplicates tie in
+    probe scores and therefore occupy adjacent probe ranks: a query near
+    the blob probes all of its parts together (parts-per-list ≤ a few ≪
+    nprobe), so recall is unaffected while the fixed-cap scan length —
+    and with it the whole batched-scan bandwidth — drops to cap. MUST be
+    the last balance step (a geometric reassignment would undo it).
+
+    Returns (centroids, parent_offsets | None, assign)."""
+    k = centroids.shape[0]
+    counts = np.bincount(assign, minlength=k)
+    cap_i = max(int(cap), 1)
+    over = np.nonzero(counts > cap_i)[0]
+    if len(over) == 0:
+        if l1_cents is not None:
+            centroids, parent_offs, order_c = sort_children(
+                centroids, l1_cents)
+            inv = np.empty(len(order_c), np.int64)
+            inv[order_c] = np.arange(len(order_c))
+            return centroids, parent_offs, inv[assign].astype(np.int32)
+        return centroids, None, assign
+    order = np.argsort(assign, kind="stable")
+    bounds = np.searchsorted(assign[order], np.arange(k + 1))
+    assign = assign.copy()
+    new_cents = [centroids]
+    next_id = k
+    for li in over:
+        mem = order[bounds[li]:bounds[li + 1]]
+        for p0 in range(cap_i, len(mem), cap_i):
+            assign[mem[p0:p0 + cap_i]] = next_id
+            new_cents.append(centroids[li][None, :])
+            next_id += 1
+    centroids = np.concatenate(new_cents).astype(np.float32)
+    if l1_cents is not None:
+        centroids, parent_offs, order_c = sort_children(centroids, l1_cents)
+        inv = np.empty(len(order_c), np.int64)
+        inv[order_c] = np.arange(len(order_c))
+        return centroids, parent_offs, inv[assign].astype(np.int32)
+    return centroids, None, assign
+
+
 def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
                    balance_factor: float = 4.0, rounds: int = 3,
                    seed: int = 0, verbose: bool = False,
@@ -276,22 +337,21 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
         return rows.astype(np.float32) / scale + offset if quant \
             else rows.astype(np.float32)
 
-    rng = np.random.default_rng(seed + 7)
+    # cap is fixed from the INITIAL k: recomputing per round shrinks it as
+    # splitting grows k, spiralling into ever-more "oversized" lists
+    cap = balance_factor * max(len(x) / centroids.shape[0], 1.0)
+    prev_over = np.inf
     for _ in range(rounds):
         k = centroids.shape[0]
         counts = np.bincount(assign, minlength=k)
-        mean_len = max(len(x) / k, 1.0)
-        cap = balance_factor * mean_len
         oversized = np.nonzero(counts > cap)[0]
-        if len(oversized) == 0:
-            break
+        if len(oversized) == 0 or len(oversized) >= prev_over:
+            break  # done, or geometric splitting is not helping
+        prev_over = len(oversized)
         new_cents = [centroids]
         for li in oversized:
-            members = np.nonzero(assign == li)[0]
             n_extra = int(np.ceil(counts[li] / cap)) - 1
-            picks = rng.choice(members, size=min(n_extra, len(members)),
-                               replace=False)
-            new_cents.append(deq(x[picks]))
+            new_cents.append(_split_centroid(centroids[li], n_extra))
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
         # one Lloyd refinement over the (enlarged) centroid set — streamed
         # device accumulation (host blocks; no O(corpus) device residency)
@@ -315,34 +375,29 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
                         seed: int = 0, probe: int = 8, verbose: bool = False,
                         offset: float = 0.0, scale: float = 1.0,
                         assign_fn=None):
-    """Oversized-list splitting for the two-level quantizer: seed extra
-    centroids from members of long lists, re-sort ALL children under their
-    nearest level-1 parent, and reassign hierarchically (no O(N·k) pass).
+    """Oversized-list splitting for the two-level quantizer: split long
+    lists with ε-scaled centroid copies (_split_centroid), re-sort ALL
+    children under their nearest level-1 parent, and reassign
+    hierarchically (no O(N·k) pass).
     Returns (sorted centroids, l1_cents, parent_offsets, assign)."""
     import logging
 
-    quant = x.dtype == np.int8
-
-    def deq(rows):
-        return rows.astype(np.float32) / scale + offset if quant \
-            else rows.astype(np.float32)
-
-    rng = np.random.default_rng(seed + 7)
+    # fixed cap from the initial k (see _balance_lists)
+    cap = balance_factor * max(len(x) / centroids.shape[0], 1.0)
     parent_offs = None
+    prev_over = np.inf
     for _ in range(rounds):
         k = centroids.shape[0]
         counts = np.bincount(assign, minlength=k)
-        cap = balance_factor * max(len(x) / k, 1.0)
         oversized = np.nonzero(counts > cap)[0]
-        if len(oversized) == 0 and parent_offs is not None:
-            break
+        no_gain = len(oversized) == 0 or len(oversized) >= prev_over
+        if no_gain and parent_offs is not None:
+            break  # done, or geometric splitting is not helping
+        prev_over = min(prev_over, len(oversized))
         new_cents = [centroids]
         for li in oversized:
-            members = np.nonzero(assign == li)[0]
             n_extra = int(np.ceil(counts[li] / cap)) - 1
-            picks = rng.choice(members, size=min(n_extra, len(members)),
-                               replace=False)
-            new_cents.append(deq(x[picks]))
+            new_cents.append(_split_centroid(centroids[li], n_extra))
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
         centroids, parent_offs, _ = sort_children(centroids, l1_cents)
         if assign_fn is not None:
@@ -491,6 +546,12 @@ class IVFIndex:
                 balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
                 probe=cfg.assign_probe, verbose=verbose, offset=offset,
                 scale=scale, assign_fn=assign_fn)
+            # deterministic backstop: partition any list geometric
+            # splitting could not break (tight blobs under bf16 ties)
+            centroids, _, assign = _force_partition(
+                centroids, assign,
+                cfg.balance_factor * max(n / centroids.shape[0], 1.0),
+                l1_cents=l1_cents)
             del codes_dev, assign_fn
         else:
             centroids, _ = kmeans(
@@ -500,15 +561,18 @@ class IVFIndex:
             assign = assign_blocks(codes_int8, centroids, chunk=2048,
                                    offset=offset, scale=scale)
 
-            # --- balance: split oversized lists by seeding extra centroids
-            # from their members and re-running Lloyd. Bounded list length is
-            # what makes the fixed-cap TPU scan bandwidth-efficient (no FAISS
-            # analog needed there: CPU scans tolerate ragged lists, our MXU
-            # scan wants uniform tiles).
+            # --- balance: split oversized lists (ε-scaled centroid copies +
+            # Lloyd refinement). Bounded list length is what makes the
+            # fixed-cap TPU scan bandwidth-efficient (no FAISS analog needed
+            # there: CPU scans tolerate ragged lists, our MXU scan wants
+            # uniform tiles).
             centroids, assign = _balance_lists(
                 codes_int8, centroids, assign,
                 balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
                 verbose=verbose, offset=offset, scale=scale)
+            centroids, _, assign = _force_partition(
+                centroids, assign,
+                cfg.balance_factor * max(n / centroids.shape[0], 1.0))
 
         # --- fine quantization
         rotation = None

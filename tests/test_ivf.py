@@ -360,3 +360,29 @@ def test_assign_hier_streamed_matches_device():
     a_str = assign_hier_streamed(x, l1, cents, offs, probe=4,
                                  block_bytes=1)
     np.testing.assert_array_equal(a_dev, a_str)
+
+
+def test_balance_splits_tight_blob():
+    """A single tight high-dim blob assigned to one list: geometric
+    splitting cannot break it (member-point seeding fails because every
+    member is closer to the blob mean than to any other member; ε-copies
+    tie below bf16 score resolution) — the _force_partition backstop must
+    bound the list length deterministically."""
+    from densephrases_tpu.index.ivf import _balance_lists, _force_partition
+
+    rng = np.random.default_rng(31)
+    d = 128
+    mean = rng.normal(-2, 1, d).astype(np.float32)
+    x = (mean[None, :] + 0.05 * rng.normal(size=(4000, d))).astype(np.float32)
+    far = rng.normal(5, 1, (3, d)).astype(np.float32)
+    centroids = np.concatenate([x.mean(0, keepdims=True), far]).astype(
+        np.float32)
+    assign = np.zeros(4000, np.int32)
+    new_c, new_a = _balance_lists(x, centroids, assign, balance_factor=2.0,
+                                  rounds=3, seed=0)
+    cap = 2.0 * len(x) / new_c.shape[0]
+    new_c, _, new_a = _force_partition(new_c, new_a, cap)
+    counts = np.bincount(new_a, minlength=new_c.shape[0])
+    assert counts.max() <= int(cap), counts.max()
+    # every row still belongs to a centroid identical to the blob mean
+    assert np.allclose(new_c[new_a[:10]], new_c[0], atol=1e-5)
