@@ -96,9 +96,15 @@ def main():
     res["n"] = n_pad
     flat = FlatIndex(codes, chunk=65536)
     q = jnp.asarray(rng.normal(size=(2 * b, 768)), jnp.float32)
-    scan = jax.jit(lambda q_: _scan_topk(q_, flat.codes, jnp.int32(args.n),
-                                         flat.offset, flat.scale, top_k=10,
-                                         chunk=flat.chunk))
+    # NOTE: codes must be an explicit ARGUMENT — a jit closing over the
+    # device corpus embeds it as an HLO constant, and the serialized
+    # program blows the remote-compile transport (HTTP 413 on this tunnel)
+    nvalid = jnp.int32(args.n)
+
+    def scan(q_):
+        return _scan_topk(q_, flat.codes, nvalid, flat.offset, flat.scale,
+                          top_k=10, chunk=flat.chunk)
+
     t = pipeline_time(lambda: scan(q))
     res["scan_2x%d_ms" % b] = round(1000 * t, 3)
     res["scan_gbps"] = round(args.n * 768 / t / 1e9, 1)
@@ -106,9 +112,9 @@ def main():
     # ---- two-phase Pallas scan (selection-free kernel + exact rescore)
     from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk2
 
-    scan2 = jax.jit(lambda q_: flat_scan_topk2(
-        q_, flat.codes, jnp.int32(args.n), flat.offset, flat.scale,
-        top_k=10, chunk=4096))
+    def scan2(q_):
+        return flat_scan_topk2(q_, flat.codes, nvalid, flat.offset,
+                               flat.scale, top_k=10, chunk=4096)
     v2, i2, ok2 = scan2(q)
     res["scan2_exact_pct"] = round(100 * float(np.asarray(ok2).mean()), 1)
     v1, i1 = scan(q)
