@@ -155,7 +155,7 @@ def _submax_kernel(q_ref, qsum_ref, nvalid_ref, codes_ref, submax_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + i * chunk
     s = jnp.where(col < nvalid_ref[0], s, NEG_INF)
     b = s.shape[0]
-    submax_ref[...] = jnp.max(s.reshape(b, chunk // sub, sub), axis=-1)
+    submax_ref[0] = jnp.max(s.reshape(b, chunk // sub, sub), axis=-1)
 
 
 @functools.partial(jax.jit,
@@ -187,9 +187,13 @@ def flat_scan_topk2(queries, codes, n_valid, offset: float, scale: float,
             pl.BlockSpec((chunk, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((b, chunk // sub), lambda i: (0, i),
+        # 3D output [n_chunks, B, chunk/sub]: Mosaic requires the block's
+        # minor dim be 128-divisible OR equal to the array's — (1, B, c/s)
+        # against [n_chunks, B, c/s] satisfies the latter
+        out_specs=pl.BlockSpec((1, b, chunk // sub), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, nsub_total), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, b, chunk // sub),
+                                       jnp.float32),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * b * r * d,
@@ -197,6 +201,7 @@ def flat_scan_topk2(queries, codes, n_valid, offset: float, scale: float,
             transcendentals=0,
         ),
     )(qbf, qsum, nvalid, codes)
+    submax = submax.transpose(1, 0, 2).reshape(b, nsub_total)
 
     # ---- phase 2: rescore the top-M subtiles exactly (plain XLA: the
     # gather is B·M·SUB rows — microscopic next to the phase-1 stream)
