@@ -1,10 +1,10 @@
-"""On-device serving/training microbench: device time with the tunnel
-dispatch overhead amortized away.
+"""On-device serving/training microbench.
 
-The e2e bench (bench.py) pays a host→TPU tunnel round-trip per batch; this
-tool times K back-to-back async dispatches and blocks once at the end, so
-the device pipeline stays full and the number approaches pure device
-throughput. Also reports train-step MFU from XLA's own flop count.
+Every number is timed with a per-call VALUE fetch (see synced_time: this
+tunnel's block_until_ready is unreliable and queued programs serialize
+pathologically), then the separately-measured trivial-dispatch round-trip
+floor is subtracted — the result estimates pure device time per call.
+Also reports train-step MFU from XLA's own flop count.
 
 Run: python densephrases_tpu/tools/bench_device.py [--out docs/DEVICE_BENCH.json]
 """
@@ -23,16 +23,43 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 PEAK_TFLOPS = float(os.environ.get("DPH_PEAK_TFLOPS", "197"))
 
 
-def pipeline_time(dispatch, k: int = 32, warmup: int = 5):
-    """Seconds per call with the device queue kept full."""
+def synced_time(dispatch, k: int = 8, warmup: int = 3):
+    """Seconds per call, synchronized by a VALUE fetch per call.
+
+    On this tunnel ``block_until_ready`` can return before execution and
+    multiple queued programs serialize pathologically, so async
+    pipeline timing under-reports wildly; fetching a scalar from each
+    call's output is the only sync that cannot lie. The number therefore
+    INCLUDES one host round-trip — subtract ``roundtrip_floor`` for an
+    estimate of pure device time."""
     import jax
 
+    def leaf(out):
+        x = out
+        while isinstance(x, (tuple, list, dict)):
+            x = next(iter(x.values())) if isinstance(x, dict) else x[0]
+        return jax.device_get(x).ravel()[0]
+
     for _ in range(warmup):
-        out = dispatch()
-    jax.block_until_ready(out)
+        leaf(dispatch())
     t0 = time.perf_counter()
-    outs = [dispatch() for _ in range(k)]
-    jax.block_until_ready(outs[-1])
+    for _ in range(k):
+        leaf(dispatch())
+    return (time.perf_counter() - t0) / k
+
+
+def roundtrip_floor(k: int = 12):
+    """Per-call cost of a trivial dispatch + value fetch (tunnel RTT)."""
+    import jax
+    import jax.numpy as jnp
+
+    one = jnp.ones((8, 8))
+    f = jax.jit(lambda x: x + 1.0)
+    for _ in range(3):
+        jax.device_get(f(one))[0, 0]
+    t0 = time.perf_counter()
+    for _ in range(k):
+        jax.device_get(f(one))[0, 0]
     return (time.perf_counter() - t0) / k
 
 
@@ -69,6 +96,8 @@ def main():
 
     res = {"backend": jax.default_backend(), "n": args.n,
            "batch": args.batch, "peak_tflops": PEAK_TFLOPS}
+    res["roundtrip_floor_ms"] = round(1000 * roundtrip_floor(), 2)
+    floor = res["roundtrip_floor_ms"] / 1000.0
     config = BertConfig()
     params = init_encoder_params(jax.random.PRNGKey(0), config)
     rng = np.random.default_rng(0)
@@ -79,7 +108,7 @@ def main():
     mask = jnp.ones((b, lq), jnp.int32)
     enc = jax.jit(lambda p, i, m: embed_query(p, config, i, m,
                                               deterministic=True))
-    t = pipeline_time(lambda: enc(params, ids, mask))
+    t = max(synced_time(lambda: enc(params, ids, mask)) - floor, 1e-6)
     fl = xla_flops(enc, params, ids, mask)
     res["encode_b%d_ms" % b] = round(1000 * t, 3)
     res["encode_mfu"] = round(fl / t / (PEAK_TFLOPS * 1e12), 4) if fl else None
@@ -105,7 +134,7 @@ def main():
         return _scan_topk(q_, flat.codes, nvalid, flat.offset, flat.scale,
                           top_k=10, chunk=flat.chunk)
 
-    t = pipeline_time(lambda: scan(q))
+    t = max(synced_time(lambda: scan(q)) - floor, 1e-6)
     res["scan_2x%d_ms" % b] = round(1000 * t, 3)
     res["scan_gbps"] = round(args.n * 768 / t / 1e9, 1)
 
@@ -120,7 +149,7 @@ def main():
     v1, i1 = scan(q)
     res["scan2_id_agreement"] = round(
         float((np.asarray(i1) == np.asarray(i2)).mean()), 4)
-    t = pipeline_time(lambda: scan2(q))
+    t = max(synced_time(lambda: scan2(q)) - floor, 1e-6)
     res["scan2_2x%d_ms" % b] = round(1000 * t, 3)
     res["scan2_gbps"] = round(args.n * 768 / t / 1e9, 1)
 
@@ -139,7 +168,7 @@ def main():
             jnp.int32(args.n), config=config, top_k=10,
             max_answer_length=10, chunk=flat.chunk, attn_impl="auto")
 
-    t = pipeline_time(fused)
+    t = max(synced_time(fused) - floor, 1e-6)
     res["fused_b%d_ms" % b] = round(1000 * t, 3)
     res["fused_qps_device"] = round(b / t, 1)
 
@@ -184,14 +213,14 @@ def main():
                                                     lambda_flt=1.0), opt,
                                remat=remat)
         try:
-            new_state, _ = step(state, batch, key)  # compile
-            jax.block_until_ready(new_state.params["filter"]["b"])
+            new_state, metrics = step(state, batch, key)  # compile
+            float(jax.device_get(metrics["loss"]))
             t0 = time.perf_counter()
-            k = 8
+            k = 6
             for _ in range(k):
                 new_state, metrics = step(new_state, batch, key)
-            jax.block_until_ready(new_state.params["filter"]["b"])
-            t = (time.perf_counter() - t0) / k
+                float(jax.device_get(metrics["loss"]))  # value-fetch sync
+            t = max((time.perf_counter() - t0) / k - floor, 1e-6)
         except Exception as e:  # e.g. HBM OOM on the no-remat variant
             res[f"train_step_ms{suffix}"] = None
             res[f"train_error{suffix}"] = type(e).__name__
