@@ -207,7 +207,7 @@ def main():
     # MODEL flops (the remat-free program's count) — recompute is overhead,
     # not useful work.
     fl_model = None
-    for remat in ("none", "dots", "full"):
+    for remat in ("full", "dots", "none"):  # safest first: a late OOM cannot poison earlier numbers
         suffix = "" if remat == "full" else f"_{remat}"
         step = make_train_step(config, RCLossConfig(lambda_neg=1.0,
                                                     lambda_flt=1.0), opt,
@@ -223,11 +223,12 @@ def main():
             t = max((time.perf_counter() - t0) / k - floor, 1e-6)
         except Exception as e:  # e.g. HBM OOM on the no-remat variant
             res[f"train_step_ms{suffix}"] = None
-            res[f"train_error{suffix}"] = type(e).__name__
+            res[f"train_error{suffix}"] = f"{type(e).__name__}: {e}"[:160]
             jax.clear_caches()
             continue
-        if fl_model is None:
-            fl_model = xla_flops(step, state, batch, key)
+        if fl_model is None or remat == "none":
+            # the remat-free program's flop count = true model flops
+            fl_model = xla_flops(step, state, batch, key) or fl_model
         res[f"train_step_ms{suffix}"] = round(1000 * t, 1)
         res[f"train_mfu{suffix}"] = (
             round(fl_model / t / (PEAK_TFLOPS * 1e12), 4) if fl_model else None)
