@@ -226,12 +226,16 @@ def main():
             res[f"train_error{suffix}"] = f"{type(e).__name__}: {e}"[:160]
             jax.clear_caches()
             continue
-        if fl_model is None or remat == "none":
-            # the remat-free program's flop count = true model flops
-            fl_model = xla_flops(step, state, batch, key) or fl_model
+        if fl_model is None:
+            # Analytic model flops: XLA's cost_analysis under-reports on
+            # this backend (~10x). 6 * tokens * encoder-params over the
+            # three towers (fwd+bwd), embeddings excluded.
+            p_enc = 12 * (4 * config.hidden_size ** 2 +
+                          2 * config.hidden_size * config.intermediate_size)
+            fl_model = 6.0 * p_enc * (bt * l + 2 * bt * lq)
         res[f"train_step_ms{suffix}"] = round(1000 * t, 1)
-        res[f"train_mfu{suffix}"] = (
-            round(fl_model / t / (PEAK_TFLOPS * 1e12), 4) if fl_model else None)
+        res[f"train_mfu{suffix}"] = round(
+            fl_model / t / (PEAK_TFLOPS * 1e12), 4)
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
