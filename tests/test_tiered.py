@@ -178,3 +178,30 @@ def test_tiered_mips_return_idxs_vectors(tmp_path):
         for r in ret:
             assert r["start_vec"] is not None and r["start_vec"].shape == (d,)
             assert np.isfinite(r["start_vec"]).all()
+
+
+def test_tiered_vecs_on_device_matches_attached(tmp_path):
+    """The host-tiered serve path must also support the query-FT
+    vecs-on-device protocol: [B, 2K, D] arrays + cand_col gather must
+    reproduce the vectors the return_idxs path attaches."""
+    import jax.numpy as jnp
+
+    store = _tiny_store(tmp_path)
+    d = store.dim
+    rng = np.random.default_rng(5)
+    qvec = rng.normal(size=(2, 2 * d)).astype(np.float32)
+    tiered_idx = TieredFlatIndex(
+        np.asarray(store.vecs), store.offset, store.scale,
+        hbm_budget_bytes=0, block_rows=16)
+    mips = MIPS(store, index=tiered_idx)
+
+    ref = mips.search(qvec, top_k=4, return_idxs=True)
+    results, (sv, ev) = mips.search(qvec, top_k=4, vecs_on_device=True)
+    assert sv.shape == (2, 8, d) and ev.shape == (2, 8, d)
+    for bi in range(2):
+        for r_ref, r_new in zip(ref[bi], results[bi]):
+            col = r_new["cand_col"]
+            np.testing.assert_allclose(np.asarray(sv[bi, col]),
+                                       r_ref["start_vec"], atol=1e-5)
+            np.testing.assert_allclose(np.asarray(ev[bi, col]),
+                                       r_ref["end_vec"], atol=1e-5)
