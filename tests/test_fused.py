@@ -62,3 +62,18 @@ def test_pipelined_matches_sync(setup):
                     for x in ro] == \
                    [(x["doc_idx"], x["start_idx"], x["end_idx"])
                     for x in rr]
+
+
+def test_pipelined_uneven_batches(setup):
+    # real request streams are not uniform: mixed batch sizes must work
+    model = setup
+    fused = FusedServer(model)
+    batches = [["what is topic three"],
+               ["document text", "topic five here", "several words"],
+               ["embed here now", "words to embed"]]
+    out = fused.search_pipelined(batches, depth=2, top_k=3, aggregate=True)
+    assert [len(o) for o in out] == [1, 3, 2]
+    for o in out:
+        for r in o:
+            assert r and r[0]["answer"] == \
+                r[0]["context"][r[0]["start_pos"]:r[0]["end_pos"]]
