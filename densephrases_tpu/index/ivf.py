@@ -493,18 +493,32 @@ class IVFIndex:
         x = (codes_int8.astype(np.float32) / scale + offset
              if need_float_full else None)
 
-        # --- sample for training (ref: build_phrase_index.py:60-93)
+        # --- sample for training (ref: build_phrase_index.py:60-93).
+        # The sample stays in int8 end-to-end (sorted indices → sequential
+        # memmap reads; no O(sample) f32 materialization — the temp chains
+        # dominated build time on slow-memory hosts); the k-means stack
+        # consumes raw codes via the affine contract.
         if cfg.sample_ratio < 1.0:
             take = max(int(n * cfg.sample_ratio), min(n, cfg.num_clusters * 4))
-            sel = rng.choice(n, size=min(take, n), replace=False)
+            sel = np.sort(rng.choice(n, size=min(take, n), replace=False))
         else:
             sel = np.arange(n)
-        sample = codes_int8[sel].astype(np.float32) / scale + offset
+        sample = np.ascontiguousarray(codes_int8[sel])
+        s_quant = sample.dtype == np.int8
+        s_off, s_scale = (offset, scale) if s_quant else (0.0, 1.0)
         if cfg.norm_th < 999.0:
-            norms = np.linalg.norm(sample, axis=1)
+            # norms on device (one upload, tiny download)
+            sv = jnp.asarray(sample)
+            norms = np.asarray(jnp.sqrt(jnp.sum(
+                (sv.astype(jnp.float32) / s_scale + s_off) ** 2, axis=1)))
+            del sv
             kept = sample[norms < cfg.norm_th]
             if len(kept) >= cfg.num_clusters:
                 sample = kept
+
+        def sample_f32():
+            return (sample.astype(np.float32) / scale + offset
+                    if s_quant else sample)
 
         # --- coarse quantizer. Flat Lloyd for moderate nlist; two-level
         # hierarchical k-means at reference scale (nlist up to 2^20,
@@ -518,7 +532,7 @@ class IVFIndex:
         if cfg.num_clusters >= cfg.two_level_clusters:
             centroids, l1_cents, parent_offs = kmeans_two_level(
                 sample, cfg.num_clusters, iters=cfg.kmeans_iters,
-                seed=cfg.seed, verbose=verbose)
+                seed=cfg.seed, verbose=verbose, offset=s_off, scale=s_scale)
             # Full-corpus assignment: device-resident grouped-matmul path
             # when the int8 corpus fits the HBM budget (hours → minutes at
             # 10M+ rows; see ops/kmeans.assign_corpus_hier), else the
@@ -557,7 +571,8 @@ class IVFIndex:
             centroids, _ = kmeans(
                 sample, cfg.num_clusters, iters=cfg.kmeans_iters,
                 seed=cfg.seed, verbose=verbose,
-                chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)))
+                chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)),
+                offset=s_off, scale=s_scale)
             assign = assign_blocks(codes_int8, centroids, chunk=2048,
                                    offset=offset, scale=scale)
 
@@ -580,14 +595,15 @@ class IVFIndex:
         fq = cfg.fine_quant
         if fq.startswith("OPQ"):
             m = int(fq[3:])
-            opq = train_opq(sample, m, niter=cfg.opq_iters, pq_iters=cfg.pq_iters,
-                            seed=cfg.seed, verbose=verbose)
+            opq = train_opq(sample_f32(), m, niter=cfg.opq_iters,
+                            pq_iters=cfg.pq_iters, seed=cfg.seed,
+                            verbose=verbose)
             rotation = opq.rotation
             pq = opq.pq
             fine_codes = pq_encode(pq, x @ rotation)
         elif fq.startswith("PQ"):
             m = int(fq[2:])
-            pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed)
+            pq = train_pq(sample_f32(), m, iters=cfg.pq_iters, seed=cfg.seed)
             fine_codes = pq_encode(pq, x)
         elif fq == "SQ8":
             fine_codes = codes_int8

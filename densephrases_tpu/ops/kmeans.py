@@ -143,12 +143,17 @@ def assign_blocks(x: np.ndarray, centroids: np.ndarray,
 
 def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
            chunk: int = 4096, verbose: bool = False,
-           rounded: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+           rounded: bool = False, offset: float = 0.0,
+           scale: float = 1.0) -> Tuple[np.ndarray, np.ndarray]:
     """Train k centroids. Returns (centroids [k, D] f32, assignments [N] i32).
 
     Host-side driver: per-iteration device work is jitted and streamed in
     host blocks (device memory O(block), not O(corpus)); empty-cluster
     re-seeding happens between iterations on the host (rare path).
+
+    x may be raw int8 codes with the (offset, scale) dequant contract —
+    blocks ship as int8 (4× less transfer and no host-side f32
+    materialization); centroids are always returned in dequantized space.
 
     rounded=True pads the data to a power-of-two length by resampling
     existing rows, so repeated calls at many nearby sizes (the two-level
@@ -159,25 +164,34 @@ def kmeans(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
     n, d = x.shape
     n_orig = n
     assert n >= k, f"need at least k={k} points, got {n}"
+    quant = x.dtype == np.int8
+
+    def deq(rows):
+        return (rows.astype(np.float32) / scale + offset if quant
+                else np.asarray(rows, np.float32))
+
     rng = np.random.default_rng(seed)
     if rounded:
         n_pad = max(1 << int(np.ceil(np.log2(max(n, 512)))), k)
         if n_pad > n:
             x = np.concatenate([x, x[rng.integers(0, n, size=n_pad - n)]])
             n = n_pad
-    centroids = np.asarray(x[rng.choice(n, size=k, replace=False)], np.float32)
+    centroids = deq(x[rng.choice(n, size=k, replace=False)])
 
     for it in range(iters):
-        sums, counts, cost = accumulate_blocks(x, centroids, chunk=chunk)
+        sums, counts, cost = accumulate_blocks(x, centroids, chunk=chunk,
+                                               offset=offset, scale=scale)
         nonempty = counts > 0
         centroids[nonempty] = sums[nonempty] / counts[nonempty, None]
         n_empty = int((~nonempty).sum())
         if n_empty:
-            centroids[~nonempty] = x[rng.choice(n, size=n_empty, replace=False)]
+            centroids[~nonempty] = deq(
+                x[rng.choice(n, size=n_empty, replace=False)])
         if verbose:
             logger.info("kmeans iter %d: cost=%.1f empty=%d", it, float(cost), n_empty)
 
-    assigns = assign_blocks(x, centroids, chunk=chunk)
+    assigns = assign_blocks(x, centroids, chunk=chunk, offset=offset,
+                            scale=scale)
     return centroids, assigns[:n_orig]
 
 
@@ -258,17 +272,26 @@ def _batched_lloyd(X, C0, iters: int):
 
 
 def kmeans_batched(groups, k: int, iters: int = 5, seed: int = 0,
-                   max_group_floats: int = 256 << 20):
+                   max_group_floats: int = 256 << 20,
+                   offset: float = 0.0, scale: float = 1.0):
     """Run one k-means per group (all with the same k) on device, batched.
 
-    groups: list of [n_i, D] f32 arrays. Each group is resampled/padded to
-    a shared power-of-two row count (duplicated rows get double weight —
-    harmless for quantizer training, same trick as kmeans(rounded=True)),
-    then G-sized stacks are processed with `_batched_lloyd` — one dispatch
-    per stack instead of one per (group, iteration).
-    Returns a list of [k, D] centroid arrays."""
+    groups: list of [n_i, D] arrays — f32, or raw int8 codes with the
+    (offset, scale) dequant contract. int8 groups are stacked and shipped
+    as int8 and the Lloyd runs in RAW-code space (an affine image of the
+    true space, so the argmin partition is identical); the returned
+    centroids are always dequantized f32.
+
+    Each group is resampled/padded to a shared power-of-two row count
+    (duplicated rows get double weight — harmless for quantizer training,
+    same trick as kmeans(rounded=True)), then G-sized stacks are
+    processed with `_batched_lloyd` — one dispatch per stack instead of
+    one per (group, iteration). Returns a list of [k, D] centroid
+    arrays."""
     assert groups, "no groups"
     d = groups[0].shape[1]
+    quant = groups[0].dtype == np.int8
+    dt = np.int8 if quant else np.float32
     n_pad = max(1 << int(np.ceil(np.log2(max(max(len(g) for g in groups),
                                              k, 256)))), k)
     g_max = max(1, max_group_floats // (n_pad * d))
@@ -276,10 +299,10 @@ def kmeans_batched(groups, k: int, iters: int = 5, seed: int = 0,
     out = []
     for g0 in range(0, len(groups), g_max):
         chunk_groups = groups[g0:g0 + g_max]
-        X = np.empty((len(chunk_groups), n_pad, d), np.float32)
+        X = np.empty((len(chunk_groups), n_pad, d), dt)
         C0 = np.empty((len(chunk_groups), k, d), np.float32)
         for gi, g in enumerate(chunk_groups):
-            g = np.asarray(g, np.float32)
+            g = np.asarray(g, dt)
             if len(g) < n_pad:
                 extra = g[rng.integers(0, len(g), n_pad - len(g))]
                 g = np.concatenate([g, extra])
@@ -287,25 +310,36 @@ def kmeans_batched(groups, k: int, iters: int = 5, seed: int = 0,
             C0[gi] = g[rng.choice(n_pad, size=k, replace=False)]
         cents = np.asarray(_batched_lloyd(jnp.asarray(X), jnp.asarray(C0),
                                           iters=iters))
+        if quant:
+            cents = cents / scale + offset
         out.extend(cents[gi] for gi in range(len(chunk_groups)))
     return out
 
 
 def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
                      k1: Optional[int] = None, sub_iters: int = 5,
-                     verbose: bool = False):
+                     verbose: bool = False, offset: float = 0.0,
+                     scale: float = 1.0):
     """Train ~k centroids hierarchically. Returns
     (centroids [K, D] f32 sorted by parent, l1_centroids [k1', D],
     parent_offsets [k1'+1]) — K may differ slightly from k (bucketed child
     counts), and parents that end up with zero children are dropped.
+
+    x may be raw int8 codes with the (offset, scale) contract: the whole
+    training pipeline (level-1 Lloyd, member slicing, batched
+    sub-clustering) then runs int8-resident — no O(sample) f32
+    materialization on the host, which dominated reference-scale build
+    time on slow-memory hosts. Centroids are always dequantized f32.
     """
     n, d = x.shape
+    quant = x.dtype == np.int8
     if k1 is None:
         k1 = int(np.clip(2 ** int(round(np.log2(max(np.sqrt(k), 2)))), 16, 4096))
     k1 = min(k1, max(n // 8, 1))
-    x = x.astype(np.float32, copy=False)
+    if not quant:
+        x = x.astype(np.float32, copy=False)
     l1, assign = kmeans(x, k1, iters=iters, seed=seed,
-                        chunk=min(4096, _BLOCK))
+                        chunk=min(4096, _BLOCK), offset=offset, scale=scale)
     counts = np.bincount(assign, minlength=k1).astype(np.float64)
 
     # proportional child budget, bucketed to multiples of 8 (shared compiles)
@@ -325,20 +359,24 @@ def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
     # per parent (k1 × O(sample) host traffic adds up at reference scale)
     order = np.argsort(assign, kind="stable")
     bounds = np.searchsorted(assign[order], np.arange(k1 + 1))
+    def deq(rows):
+        return (rows.astype(np.float32) / scale + offset if quant
+                else rows.astype(np.float32))
+
     for p in parents_kept:
         members = x[order[bounds[p]:bounds[p + 1]]]
         kp = int(k2[p])
         if kp >= len(members):  # degenerate: every member is a centroid
-            children_by_parent[p] = members.astype(np.float32)
+            children_by_parent[p] = deq(members)
         elif kp <= 1:
-            children_by_parent[p] = members.mean(0, keepdims=True).astype(
-                np.float32)
+            children_by_parent[p] = deq(members).mean(0, keepdims=True)
         else:
             nb = 1 << int(np.ceil(np.log2(max(len(members), 256))))
             buckets.setdefault((kp, nb), []).append((p, members))
     for bi, ((kp, _nb), entries) in enumerate(sorted(buckets.items())):
         cents = kmeans_batched([m for _, m in entries], kp, iters=sub_iters,
-                               seed=seed + 31 + bi)
+                               seed=seed + 31 + bi, offset=offset,
+                               scale=scale)
         for (p, _), c in zip(entries, cents):
             children_by_parent[p] = c
     children = [children_by_parent[p] for p in parents_kept]

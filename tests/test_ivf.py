@@ -386,3 +386,22 @@ def test_balance_splits_tight_blob():
     assert counts.max() <= int(cap), counts.max()
     # every row still belongs to a centroid identical to the blob mean
     assert np.allclose(new_c[new_a[:10]], new_c[0], atol=1e-5)
+
+
+def test_kmeans_int8_matches_f32_quality():
+    """int8-resident Lloyd (raw codes + affine contract) must reach the
+    same quantization error as training on the dequantized floats."""
+    from densephrases_tpu.ops.kmeans import kmeans
+
+    x = _clustered_data(4000, 32, seed=40)
+    codes = float_to_int8(x)
+    xf = int8_to_float(codes)
+    c_f, a_f = kmeans(xf, 16, iters=8, seed=1, chunk=512)
+    c_q, a_q = kmeans(codes, 16, iters=8, seed=1, chunk=512,
+                      offset=-2.0, scale=20.0)
+
+    def qerr(c, a):
+        return float(((xf - c[a]) ** 2).sum(1).mean())
+
+    e_f, e_q = qerr(c_f, a_f), qerr(c_q, a_q)
+    assert e_q < 1.05 * e_f + 1e-3, (e_q, e_f)
