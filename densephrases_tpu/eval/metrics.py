@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import re
 import string
+import unicodedata
 from collections import Counter
 
 
@@ -31,12 +32,27 @@ def normalize_answer(s: str) -> str:
 
 
 def f1_score(prediction: str, ground_truth: str):
-    prediction_tokens = normalize_answer(prediction).split()
-    ground_truth_tokens = normalize_answer(ground_truth).split()
+    normalized_prediction = normalize_answer(prediction)
+    normalized_ground_truth = normalize_answer(ground_truth)
+
+    ZERO_METRIC = (0, 0, 0)
+
+    # yes/no/noanswer answers score 0 unless they match exactly — token
+    # overlap between e.g. "no" and "no answer found" must not earn F1
+    # (ref: eval_utils.py:31-36)
+    if (normalized_prediction in ["yes", "no", "noanswer"]
+            and normalized_prediction != normalized_ground_truth):
+        return ZERO_METRIC
+    if (normalized_ground_truth in ["yes", "no", "noanswer"]
+            and normalized_prediction != normalized_ground_truth):
+        return ZERO_METRIC
+
+    prediction_tokens = normalized_prediction.split()
+    ground_truth_tokens = normalized_ground_truth.split()
     common = Counter(prediction_tokens) & Counter(ground_truth_tokens)
     num_same = sum(common.values())
     if num_same == 0:
-        return 0, 0, 0
+        return ZERO_METRIC
     precision = 1.0 * num_same / len(prediction_tokens)
     recall = 1.0 * num_same / len(ground_truth_tokens)
     f1 = (2 * precision * recall) / (precision + recall)
@@ -58,7 +74,9 @@ def regex_match_score(prediction: str, pattern: str) -> bool:
 
 # DrQA-style variants used by open-domain eval (ref: eval_utils.py:50-86).
 def drqa_normalize(text: str) -> str:
-    return normalize_answer(text)
+    """Resolve different types of unicode encodings (ref: eval_utils.py:54-56
+    — NFD, NOT answer normalization; the published numbers depend on it)."""
+    return unicodedata.normalize("NFD", text)
 
 
 def drqa_exact_match_score(prediction: str, ground_truth: str) -> bool:

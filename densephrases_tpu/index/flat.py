@@ -202,13 +202,26 @@ class FlatIndex:
                 # phase 2 rescores the top-M subtiles exactly in XLA
                 from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk2
 
+                def _warn_inexact(bad):
+                    if bad:
+                        import logging
+
+                        logging.getLogger(__name__).warning(
+                            "pallas flat scan: top-k exactness certificate "
+                            "failed for some query (m_factor too small for "
+                            "this score distribution); results may be "
+                            "approximate")
+
                 def search_fn(queries, top_k: int):
                     # chunk bounded by VMEM: 2 pipeline buffers of
                     # [chunk, D] int8 + bf16 copies must fit in ~16MB
-                    vals, ids, _ok = flat_scan_topk2(
+                    vals, ids, ok = flat_scan_topk2(
                         queries, self.codes, jnp.int32(n_total), offset,
                         scale, top_k=top_k, chunk=min(chunk, 4096),
                         interpret=(jax.default_backend() != "tpu"))
+                    # surface exactness regressions (ok is a per-query
+                    # certificate; see flat_scan_pallas notes)
+                    jax.debug.callback(_warn_inexact, ~jnp.all(ok))
                     return vals, ids  # int32: per-device rows << 2^31
                 return search_fn
 
@@ -231,10 +244,7 @@ class FlatIndex:
             return search_fn
 
         mesh, axis = self.mesh, self.shard_axis
-        # NOTE: the new jax.shard_map API hits an internal lowering KeyError on
-        # the axon TPU platform (jax 0.9.0); the experimental entry point works
-        # on both cpu and tpu, so keep it until the platform catches up.
-        from jax.experimental.shard_map import shard_map
+        from densephrases_tpu.parallel import shard_map_compat
 
         fn_cache = {}
 
@@ -254,12 +264,11 @@ class FlatIndex:
                     jnp.moveaxis(all_vals, 0, 1), jnp.moveaxis(all_ids, 0, 1), top_k)
                 return m_vals, m_ids
 
-            return jax.jit(shard_map(
+            return jax.jit(shard_map_compat(
                 sharded,
                 mesh=mesh,
                 in_specs=(P(), P(axis)),
                 out_specs=(P(), P()),
-                check_rep=False,
             ))
 
         def search_fn(queries, top_k: int):

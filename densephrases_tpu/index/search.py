@@ -221,16 +221,14 @@ class MIPS:
             # codec) — serve-time metadata-on-RAM mode (ref: index.py:69-76).
             store.preload_metas()
 
-        n = store.n_vecs
-        f2o = np.zeros(n, np.int32)
-        doc_end_row = np.zeros(n, np.int64)
-        doc_base_row = np.zeros(n, np.int64)
-        for dpos in range(store.num_docs):
-            b0, b1 = int(store.doc_bases[dpos]), int(store.doc_bases[dpos + 1])
-            meta = store.meta(dpos)
-            f2o[b0:b1] = meta.f2o_start
-            doc_end_row[b0:b1] = b1
-            doc_base_row[b0:b1] = b0
+        # Vectorized construction of the per-row serve arrays: f2o comes
+        # from the store's batch-decompressed (and disk-cached) flat map;
+        # doc bounds are a repeat over the doc-length run lengths. No
+        # per-doc Python loop — at 10M rows this is seconds, not hours.
+        f2o = store.f2o_flat()
+        lens = np.diff(store.doc_bases).astype(np.int64)
+        doc_end_row = np.repeat(store.doc_bases[1:].astype(np.int64), lens)
+        doc_base_row = np.repeat(store.doc_bases[:-1].astype(np.int64), lens)
         if self.tiered:
             self.vecs_dev = None
             self.f2o_host = f2o

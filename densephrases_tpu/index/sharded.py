@@ -134,7 +134,17 @@ class MeshShardedIVF:
                            if len(shard_bases) > 1 else sub_indexes[0].n_total)
 
         nlist_max = max(int(sub.centroids.shape[0]) for sub in sub_indexes)
-        rows_max = max(int(sub.codes.shape[0]) for sub in sub_indexes)
+        # Pad every shard's codes so that dynamic_slice(codes, (o, 0),
+        # (cap, m)) NEVER clamps for the mesh-wide cap: each sub pads its own
+        # buffer by its OWN cap, but the stacked scan slices with
+        # max_s(cap_s). A shard whose cap is smaller than the mesh cap would
+        # otherwise have its tail lists' slices clamped backwards onto the
+        # wrong lists (silently wrong ids). Required: rows >= n_s + cap for
+        # every shard; also >= every existing buffer so np.stack can work.
+        rows_need = max(int(np.asarray(sub.list_offsets)[-1])
+                        for sub in sub_indexes) + self.cap
+        rows_max = max(rows_need,
+                       max(int(sub.codes.shape[0]) for sub in sub_indexes))
         is_pq = sub_indexes[0].pq is not None
         has_rot = sub_indexes[0].rotation is not None
         has_refine = sub_indexes[0].refine_codes is not None
@@ -215,9 +225,7 @@ class MeshShardedIVF:
         return MeshShardedIVF(subs, bases, mesh, axis=axis)
 
     def _build_fn(self, top_k: int, nprobe: int, batch: int):
-        # NOTE: jax.experimental.shard_map (not jax.shard_map) — see the
-        # platform note in index/flat.py.
-        from jax.experimental.shard_map import shard_map
+        from densephrases_tpu.parallel import shard_map_compat
 
         axis, offset, scale = self.axis, self.offset, self.scale
         cap, cfg = self.cap, self.cfg
@@ -260,19 +268,19 @@ class MeshShardedIVF:
                               jnp.moveaxis(all_ids, 0, 1), top_k)
 
         # None args carry no leaves, so P(axis) on them is a no-op
-        return jax.jit(shard_map(
+        return jax.jit(shard_map_compat(
             sharded, mesh=self.mesh,
             in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis),
                       P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
-            check_rep=False,
         ))
 
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
                as_numpy: bool = True):
         """One collective dispatch over the mesh. Same API as IVFIndex."""
         queries = jnp.asarray(queries, jnp.float32)
-        nprobe = min(nprobe, min(int(v) for v in np.asarray(self.nlist_valid)))
+        nprobe = min(nprobe,
+                     int(np.asarray(self.nlist_valid).ravel().min()))
         k = min(top_k, self.n_total)
         key = (k, nprobe, queries.shape[0] >= self.cfg.prefer_union_batch)
         if key not in self._fn_cache:

@@ -236,6 +236,8 @@ class PhraseStore:
     offset: float = DEFAULT_OFFSET
     scale: float = DEFAULT_SCALE
     _meta_cache: dict = field(default_factory=dict)
+    path: Optional[str] = None
+    _f2o_flat: Optional[np.ndarray] = None
 
     @staticmethod
     def load(path: str, mmap: bool = False) -> "PhraseStore":
@@ -257,7 +259,8 @@ class PhraseStore:
             _, _, metas, _ = _read_meta_stream(os.path.join(path, "meta.pkls"))
             metas = metas[:len(doc_ids)]
         return PhraseStore(vecs=vecs, doc_bases=doc_bases, doc_ids=doc_ids,
-                           metas=metas, offset=info["offset"], scale=info["scale"])
+                           metas=metas, offset=info["offset"],
+                           scale=info["scale"], path=path)
 
     @staticmethod
     def merge(shard_paths: List[str], out_path: str) -> "PhraseStore":
@@ -328,6 +331,48 @@ class PhraseStore:
                 f2o_start=np.frombuffer(fo, np.int32),
             )
         return self
+
+    def f2o_flat(self) -> np.ndarray:
+        """Flat [N] filtered→original word map for the whole corpus.
+
+        The serve engine needs f2o for EVERY row up front (span-validity
+        masking in the rescore kernel); decompressing every doc's metadata
+        one-by-one in Python is O(corpus) serve startup (the reference pays
+        the same to load meta_compressed.pkl, ref: index.py:69-76). Here:
+        one threaded batch decompress of only the f2o buffers, one
+        concatenation — and the result is cached as an ``f2o.int32``
+        sidecar next to the store so later serves just memmap-read it
+        (O(seconds) at 10M+ rows)."""
+        if self._f2o_flat is not None:
+            return self._f2o_flat
+        sidecar = (os.path.join(self.path, "f2o.int32")
+                   if self.path is not None else None)
+        if sidecar and os.path.exists(sidecar):
+            arr = np.fromfile(sidecar, np.int32)
+            if arr.shape[0] == self.n_vecs:
+                self._f2o_flat = arr
+                return arr  # stale sidecars (wrong length) fall through
+        bufs = [m["f2o_start"] for m in self.metas]
+        sizes = [m.get("sizes", {}).get("f2o_start", -1) for m in self.metas]
+        if bufs and all(s >= 0 for s in sizes):
+            from densephrases_tpu import native
+
+            outs = native.decompress_batch(bufs, sizes)
+        else:
+            outs = [zlib.decompress(b) for b in bufs]
+        arr = (np.frombuffer(b"".join(outs), np.int32) if outs
+               else np.zeros(0, np.int32))
+        assert arr.shape[0] == self.n_vecs, (
+            f"f2o length {arr.shape[0]} != n_vecs {self.n_vecs}")
+        if sidecar:
+            try:
+                tmp = sidecar + ".tmp"
+                arr.tofile(tmp)
+                os.replace(tmp, sidecar)
+            except OSError:  # read-only store dir: cache in RAM only
+                pass
+        self._f2o_flat = arr
+        return arr
 
     def global_to_doc(self, gids: np.ndarray):
         """Map global vec ids → (doc position, local vec position).

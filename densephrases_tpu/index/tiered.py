@@ -179,8 +179,12 @@ def _score_union_block(qbf, qsum, block, row_list, member, scale,
     """Score one streamed union block of inverted-list rows for the whole
     batch, masked per query to the lists that query probed.
 
-    block: [R, D] int8; row_list: [R] list id per row (-1 = padding);
-    member: [B, nlist] uint8 probe bitmap."""
+    block: [R, D] int8; row_list: [R] COMPACT list index per row (position
+    in the batch's unique-probed-list set; -1 = padding);
+    member: [B, U] uint8 probe bitmap over the U unique probed lists (NOT
+    over all nlist lists — at reference scale nlist reaches 2^20 and a
+    dense [B, nlist] bitmap would dominate the upload this path exists to
+    avoid)."""
     s = jax.lax.dot_general(
         qbf, block.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -288,8 +292,13 @@ class TieredIVF:
         uniq = np.unique(probe_np.reshape(-1))
         starts, ends = offs[uniq], offs[uniq + 1]
         lens = ends - starts
-        member = np.zeros((b, self.nlist), np.uint8)
-        member[np.arange(b)[:, None], probe_np] = 1
+        # membership over COMPACT unique-list indices: [B, U], not
+        # [B, nlist] (uniq is sorted, so searchsorted is the remap). U is
+        # padded to a power-of-two bucket so _score_union_block's jit cache
+        # doesn't recompile for every distinct unique-list count.
+        u_pad = max(128, 1 << int(np.ceil(np.log2(max(len(uniq), 1)))))
+        member = np.zeros((b, u_pad), np.uint8)
+        member[np.arange(b)[:, None], np.searchsorted(uniq, probe_np)] = 1
         member_dev = jax.device_put(member)
 
         qsum = queries.sum(-1) * self.offset
@@ -314,14 +323,14 @@ class TieredIVF:
             cand_vals.append(np.asarray(vals))
             cand_ids.append(rows[np.clip(np.asarray(ids), 0, br - 1)])
 
-        for li, s0, ln in zip(uniq, starts, lens):
+        for ci, (s0, ln) in enumerate(zip(starts, lens)):
             done = 0
             while done < ln:
                 take = min(int(ln - done), br - fill)
                 blk[fill:fill + take] = self._codes[s0 + done:s0 + done + take]
                 blk_rows[fill:fill + take] = np.arange(
                     s0 + done, s0 + done + take)
-                blk_list[fill:fill + take] = li
+                blk_list[fill:fill + take] = ci  # compact unique-list index
                 fill += take
                 done += take
                 if fill == br:

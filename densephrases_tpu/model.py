@@ -50,7 +50,19 @@ class DensePhrases:
 
     def __init__(self, params, config: BertConfig, tokenizer: WordPieceTokenizer,
                  mips: MIPS, max_query_length: int = 64, truecase=None,
-                 attn_impl: str = "auto"):
+                 attn_impl: str = "auto", serve_dtype=None):
+        if serve_dtype is not None:
+            # bf16-resident weights for serving: halves weight HBM traffic
+            # and removes the per-layer fp32→bf16 cast from the hot path
+            # (training keeps fp32 masters; LN/softmax still accumulate
+            # fp32 inside bert_forward). Opt-in because it perturbs logits
+            # at the bf16 ulp level vs the fp32-weight path.
+            dt = jnp.bfloat16 if serve_dtype in ("bf16", jnp.bfloat16) \
+                else serve_dtype
+            params = jax.tree.map(
+                lambda x: x.astype(dt)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, params)
         self.params = params
         self.config = config
         self.tokenizer = tokenizer

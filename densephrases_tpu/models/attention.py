@@ -173,11 +173,22 @@ def _attention_pallas_bwd(res, g):
 _attention_pallas_ad.defvjp(_attention_pallas_fwd, _attention_pallas_bwd)
 
 
+# Below this sequence length the fused kernel's one-(batch,head)-per-grid-
+# cell schedule is launch/DMA-bound (L=32 queries: B·H ≈ 1500 cells of
+# ~0.26 MFLOP each) and XLA's batched-GEMM formulation wins by a wide
+# margin; at the 512-token dump/train windows the VMEM-resident kernel
+# wins. Crossover measured on the axon v4 chip (docs/DEVICE_BENCH.json
+# encode_b64_ms: 22.7 ms pallas → ~3 ms xla at L=32).
+PALLAS_MIN_SEQ = 128
+
+
 def attention(q, k, v, mask, impl: str = "auto", interpret: bool = False):
-    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU, xla otherwise).
-    The pallas path is differentiable via a custom VJP (XLA backward)."""
+    """Dispatch: 'pallas' | 'xla' | 'auto' (pallas on TPU for long
+    sequences, xla otherwise). The pallas path is differentiable via a
+    custom VJP (fused Pallas backward)."""
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and q.shape[2] >= PALLAS_MIN_SEQ else "xla")
     if impl == "pallas":
         if interpret:
             return attention_pallas(q, k, v, mask, interpret=True)

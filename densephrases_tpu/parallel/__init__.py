@@ -20,7 +20,30 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["Mesh", "NamedSharding", "P", "make_mesh", "shard_put",
-           "replicate_put"]
+           "replicate_put", "shard_map_compat"]
+
+
+def shard_map_compat(f, mesh, in_specs, out_specs):
+    """Version/platform shim over shard_map.
+
+    The modern ``jax.shard_map`` API hits an internal lowering KeyError on
+    the axon TPU platform (jax 0.9.0), so on TPU backends we keep the
+    ``jax.experimental.shard_map`` entry point (it works on both cpu and
+    tpu); elsewhere we use the supported ``jax.shard_map`` (with
+    ``check_vma=False`` — our collectives produce per-shard results that
+    are merged explicitly, same reason the legacy calls pass
+    ``check_rep=False``). One call site shim so the eventual migration is
+    a one-line change."""
+    if jax.default_backend() != "tpu" and hasattr(jax, "shard_map"):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=False)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        from jax.experimental.shard_map import shard_map
+    return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                     check_rep=False)
 
 
 def make_mesh(n_devices: Optional[int] = None, axis: str = "dp",

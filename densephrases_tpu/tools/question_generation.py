@@ -66,15 +66,18 @@ def hf_seq2seq_qg(model_path: str, max_questions: int = 3,
     model = AutoModelForSeq2SeqLM.from_pretrained(
         model_path, local_files_only=True).to(device).eval()
 
-    def qg_fn(context: str) -> List[Tuple[str, str]]:
-        spans = [m.group(0) for m in _ENT_RE.finditer(context)
-                 if m.start() > 0][:max_questions]
-        if not spans:
+    def qg_fn(context: str) -> List[Tuple[str, str, int]]:
+        matches = [m for m in _ENT_RE.finditer(context)
+                   if m.start() > 0][:max_questions]
+        if not matches:
             return []
+        # splice the highlight at the MATCHED span's offsets — a
+        # str.replace would mark the first occurrence of the string, which
+        # for repeated entities is a different span than the one matched
         prompts = [
-            "generate question: "
-            + context.replace(ans, f"<hl> {ans} <hl>", 1)
-            for ans in spans
+            "generate question: " + context[:m.start()]
+            + f"<hl> {m.group(0)} <hl>" + context[m.end():]
+            for m in matches
         ]
         enc = tok(prompts, return_tensors="pt", padding=True,
                   truncation=True, max_length=max_input_len).to(device)
@@ -82,7 +85,10 @@ def hf_seq2seq_qg(model_path: str, max_questions: int = 3,
             gen = model.generate(**enc, max_length=max_output_len,
                                  num_beams=4)
         questions = tok.batch_decode(gen, skip_special_tokens=True)
-        return [(q.strip(), a) for q, a in zip(questions, spans) if q.strip()]
+        # (question, answer, answer_start) — the start pins the gold span
+        # to the highlighted occurrence
+        return [(q.strip(), m.group(0), m.start())
+                for q, m in zip(questions, matches) if q.strip()]
 
     return qg_fn
 
@@ -99,9 +105,12 @@ def generate_squad(docs: List[dict], out_path: str,
         paragraphs = []
         for par in doc["paragraphs"]:
             qas = []
-            for q, a in qg(par):
-                start = par.find(a)
-                if start < 0:
+            for item in qg(par):
+                # qg_fn may yield (q, a) or (q, a, answer_start); with an
+                # explicit start the gold span is the generator's own
+                q, a = item[0], item[1]
+                start = item[2] if len(item) > 2 else par.find(a)
+                if start < 0 or par[start:start + len(a)] != a:
                     continue
                 qas.append({
                     "id": f"qg-{n_q}", "question": q,

@@ -166,7 +166,7 @@ def make_train_step(config: BertConfig, loss_cfg: RCLossConfig, optimizer,
     if mesh is None:
         return jax.jit(local_step)
 
-    from jax.experimental.shard_map import shard_map
+    from densephrases_tpu.parallel import shard_map_compat
 
     assert loss_cfg.axis_name == dp_axis, (
         "loss_cfg.axis_name must match the mesh dp axis for global negatives")
@@ -174,12 +174,11 @@ def make_train_step(config: BertConfig, loss_cfg: RCLossConfig, optimizer,
     batch_spec = P(dp_axis)
     state_spec = P()  # params/opt replicated
 
-    smapped = shard_map(
+    smapped = shard_map_compat(
         local_step,
         mesh=mesh,
         in_specs=(state_spec, batch_spec, state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False,
     )
     step_fn = jax.jit(smapped)
 
