@@ -487,11 +487,10 @@ class IVFIndex:
         """codes_int8: the store's int8 vectors [N, D] (quantized floats)."""
         n, d = codes_int8.shape
         rng = np.random.default_rng(cfg.seed)
-        # the full dequantized matrix is only materialized for PQ/OPQ
-        # encoding; SQ8 builds never hold an O(corpus) float copy
-        need_float_full = cfg.fine_quant.startswith(("OPQ", "PQ"))
-        x = (codes_int8.astype(np.float32) / scale + offset
-             if need_float_full else None)
+        # NO build path materializes an O(corpus) float copy: SQ8 reuses
+        # the int8 codes; PQ/OPQ train on the int8-resident sample and
+        # encode the corpus by STREAMING int8 blocks through the device
+        # (dequant + rotate + assign fused on device; see ops/pq.pq_encode)
 
         # --- sample for training (ref: build_phrase_index.py:60-93).
         # The sample stays in int8 end-to-end (sorted indices → sequential
@@ -515,10 +514,6 @@ class IVFIndex:
             kept = sample[norms < cfg.norm_th]
             if len(kept) >= cfg.num_clusters:
                 sample = kept
-
-        def sample_f32():
-            return (sample.astype(np.float32) / scale + offset
-                    if s_quant else sample)
 
         # --- coarse quantizer. Flat Lloyd for moderate nlist; two-level
         # hierarchical k-means at reference scale (nlist up to 2^20,
@@ -589,22 +584,27 @@ class IVFIndex:
                 centroids, assign,
                 cfg.balance_factor * max(n / centroids.shape[0], 1.0))
 
-        # --- fine quantization
+        # --- fine quantization. Training consumes the int8-resident sample
+        # (one upload, dequant on device); the corpus encode streams int8
+        # blocks through a fused dequant(+rotate)+assign device pipeline.
         rotation = None
         pq = None
         fq = cfg.fine_quant
         if fq.startswith("OPQ"):
             m = int(fq[3:])
-            opq = train_opq(sample_f32(), m, niter=cfg.opq_iters,
+            opq = train_opq(sample, m, niter=cfg.opq_iters,
                             pq_iters=cfg.pq_iters, seed=cfg.seed,
-                            verbose=verbose)
+                            verbose=verbose, offset=s_off, scale=s_scale)
             rotation = opq.rotation
             pq = opq.pq
-            fine_codes = pq_encode(pq, x @ rotation)
+            fine_codes = pq_encode(pq, codes_int8, offset=offset,
+                                   scale=scale, rotation=rotation)
         elif fq.startswith("PQ"):
             m = int(fq[2:])
-            pq = train_pq(sample_f32(), m, iters=cfg.pq_iters, seed=cfg.seed)
-            fine_codes = pq_encode(pq, x)
+            pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed,
+                          offset=s_off, scale=s_scale)
+            fine_codes = pq_encode(pq, codes_int8, offset=offset,
+                                   scale=scale)
         elif fq == "SQ8":
             fine_codes = codes_int8
         else:

@@ -271,6 +271,50 @@ def _batched_lloyd(X, C0, iters: int):
     return jax.lax.fori_loop(0, iters, body, C0)
 
 
+@functools.partial(jax.jit, static_argnames=("iters", "row_chunk"))
+def _batched_lloyd_stream(X, C0, *, iters: int, row_chunk: int):
+    """G independent Lloyd runs, streamed over row chunks so the [G, n, K]
+    distance tensor never materializes for the full n. X [G, N, D] f32
+    (N % row_chunk == 0), C0 [G, K, D] f32 → [G, K, D].
+
+    This is what PQ codebook training needs: G = M subspaces, N = the OPQ
+    training sample (10^5..10^6 rows) — `_batched_lloyd`'s whole-N distance
+    tensor would be tens of GB there. Empty clusters keep their previous
+    centroid (with N >> K they are rare; a farthest-point reseed would need
+    a second full pass per iteration)."""
+    g, n, d = X.shape
+    k = C0.shape[1]
+    n_chunks = n // row_chunk
+
+    def body(_, C):
+        c_sq = jnp.sum(C ** 2, axis=-1)  # [G, K]
+        c_bf = C.astype(jnp.bfloat16)
+
+        def chunk_body(carry, ci):
+            sums, counts = carry
+            Xc = jax.lax.dynamic_slice(
+                X, (0, ci * row_chunk, 0), (g, row_chunk, d))
+            Xb = Xc.astype(jnp.bfloat16)
+            dots = jnp.einsum("gnd,gkd->gnk", Xb, c_bf,
+                              preferred_element_type=jnp.float32)
+            a = jnp.argmin(c_sq[:, None, :] - 2.0 * dots, axis=-1)
+            oh = jax.nn.one_hot(a, k, dtype=jnp.bfloat16)
+            sums = sums + jnp.einsum("gnk,gnd->gkd", oh, Xb,
+                                     preferred_element_type=jnp.float32)
+            counts = counts + jnp.sum(oh.astype(jnp.float32), axis=1)
+            return (sums, counts), None
+
+        (sums, counts), _ = jax.lax.scan(
+            chunk_body,
+            (jnp.zeros((g, k, d), jnp.float32),
+             jnp.zeros((g, k), jnp.float32)),
+            jnp.arange(n_chunks))
+        newC = sums / jnp.maximum(counts[..., None], 1.0)
+        return jnp.where(counts[..., None] > 0, newC, C)
+
+    return jax.lax.fori_loop(0, iters, body, C0)
+
+
 def kmeans_batched(groups, k: int, iters: int = 5, seed: int = 0,
                    max_group_floats: int = 256 << 20,
                    offset: float = 0.0, scale: float = 1.0):

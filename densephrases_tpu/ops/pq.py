@@ -21,7 +21,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from densephrases_tpu.ops.kmeans import kmeans, kmeans_assign
+from densephrases_tpu.ops.kmeans import _batched_lloyd_stream
+
+_ROW_CHUNK = 4096  # rows per scanned device step in the stream kernels
 
 
 @dataclass
@@ -43,34 +45,127 @@ class PQCodebook:
         return self.m * self.dsub
 
 
+@jax.jit
+def _dequant_dev(x, offset, scale):
+    """Device dequant: int8 codes → f32 rows (no-op affine for f32 input)."""
+    return x.astype(jnp.float32) / scale + offset
+
+
+def _mm_dtype():
+    """Matmul input dtype: bf16 on TPU (MXU), f32 elsewhere — the CPU
+    backend's bf16 dot-thunk coverage is incomplete for some shapes."""
+    return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=("row_chunk",))
+def _pq_assign_stream(y, books, *, row_chunk: int = _ROW_CHUNK):
+    """y [N, D] device rows (N % row_chunk == 0) → PQ codes [N, M] uint8.
+
+    Per row chunk: one batched [rc, M, dsub]×[M, K, dsub] einsum on the MXU
+    + argmin over (||c||² − 2y·c). The whole encode is one dispatch."""
+    n, d = y.shape
+    m, k, s = books.shape
+    c_sq = jnp.sum(books.astype(jnp.float32) ** 2, axis=-1)  # [M, K]
+    mdt = _mm_dtype()
+    b_mm = books.astype(mdt)
+
+    def body(_, ci):
+        yc = jax.lax.dynamic_slice(y, (ci * row_chunk, 0), (row_chunk, d))
+        q = yc.reshape(row_chunk, m, s).astype(mdt)
+        dots = jnp.einsum("cms,mks->cmk", q, b_mm,
+                          preferred_element_type=jnp.float32)
+        a = jnp.argmin(c_sq[None] - 2.0 * dots, axis=-1)
+        return None, a.astype(jnp.uint8)
+
+    _, out = jax.lax.scan(body, None, jnp.arange(n // row_chunk))
+    return out.reshape(n, m)
+
+
+@functools.partial(jax.jit, static_argnames=("row_chunk", "rotate"))
+def _encode_chunk(xb, rotation, books, offset, scale, *,
+                  row_chunk: int = _ROW_CHUNK, rotate: bool = False):
+    """One streamed encode block: dequant (+rotate) + PQ-assign, fused."""
+    y = _dequant_dev(xb, offset, scale)
+    if rotate:
+        mdt = _mm_dtype()
+        y = jnp.dot(y.astype(mdt), rotation.astype(mdt),
+                    preferred_element_type=jnp.float32)
+    return _pq_assign_stream(y, books, row_chunk=row_chunk)
+
+
 def train_pq(x: np.ndarray, m: int, nbits: int = 8, iters: int = 10,
-             seed: int = 0) -> PQCodebook:
-    """Train M per-subspace codebooks with k-means (ref PQ training inside
-    faiss, build_phrase_index.py:124-133)."""
+             seed: int = 0, offset: float = 0.0, scale: float = 1.0,
+             row_chunk: int = _ROW_CHUNK) -> PQCodebook:
+    """Train M per-subspace codebooks (ref PQ training inside faiss,
+    build_phrase_index.py:124-133).
+
+    x: training rows — f32, or RAW int8 codes with the (offset, scale)
+    dequant contract (one int8 upload; dequantization happens on device).
+    All M sub-k-means run as ONE batched streamed Lloyd on device
+    (ops/kmeans._batched_lloyd_stream): no per-subspace host loop, no
+    per-subspace re-upload of the sample."""
     n, d = x.shape
     assert d % m == 0, f"dim {d} not divisible by M={m}"
     assert nbits == 8, "only 8-bit PQ supported (ref uses 8, :109-116)"
     dsub = d // m
     ksub = 1 << nbits
-    books = np.zeros((m, ksub, dsub), np.float32)
-    for mi in range(m):
-        sub = np.ascontiguousarray(x[:, mi * dsub:(mi + 1) * dsub])
-        books[mi], _ = kmeans(sub, ksub, iters=iters, seed=seed + mi,
-                              chunk=min(4096, max(256, n // 4 // 256 * 256) or 256))
-    return PQCodebook(books)
+    rng = np.random.default_rng(seed)
+    rc = min(row_chunk, max(256, n))
+    pad = (-n) % rc
+    if pad:  # resample pad rows (double weight — harmless for a quantizer)
+        x = np.concatenate([x, x[rng.integers(0, n, pad)]])
+    y = _dequant_dev(jnp.asarray(x), jnp.float32(offset), jnp.float32(scale))
+    books = _train_pq_device(y, m, ksub, iters, rng, row_chunk=rc)
+    return PQCodebook(np.asarray(books))
 
 
-def pq_encode(pq: PQCodebook, x: np.ndarray, chunk: int = 4096) -> np.ndarray:
-    """Encode rows → uint8 codes [N, M]."""
+def _train_pq_device(y, m: int, ksub: int, iters: int, rng,
+                     row_chunk: int = _ROW_CHUNK):
+    """PQ codebook fit on a DEVICE-resident [N, D] f32 matrix (N a multiple
+    of row_chunk). Returns device books [M, ksub, dsub]."""
+    n, d = y.shape
+    dsub = d // m
+    # X [M, N, dsub]: each subspace's rows, one batched Lloyd over all M
+    X = jnp.moveaxis(y.reshape(n, m, dsub), 1, 0)
+    # init: ksub random rows per subspace (host indices, device gather)
+    idx = jnp.asarray(rng.choice(n, size=min(ksub, n), replace=False))
+    C0 = jnp.take(X, idx, axis=1)  # [M, ksub, dsub]
+    if C0.shape[1] < ksub:  # tiny corpora: repeat rows
+        reps = -(-ksub // C0.shape[1])
+        C0 = jnp.tile(C0, (1, reps, 1))[:, :ksub]
+    return _batched_lloyd_stream(X, C0, iters=iters, row_chunk=row_chunk)
+
+
+def pq_encode(pq: PQCodebook, x: np.ndarray, offset: float = 0.0,
+              scale: float = 1.0, rotation: np.ndarray = None,
+              block: int = 1 << 19, row_chunk: int = _ROW_CHUNK
+              ) -> np.ndarray:
+    """Encode rows → uint8 codes [N, M], streamed.
+
+    x: f32 rows, or RAW int8 with the (offset, scale) contract. rotation
+    (optional, [D, D]): applied on device AFTER dequant — the OPQ encode
+    path. The corpus streams through the device in `block`-row int8/f32
+    chunks; at no point does an O(corpus) float (or rotated) copy exist on
+    the host (the round-2 build materialized both — at reference scale
+    that is terabytes; ref builds whole-corpus too: add_to_index
+    ships float32 batches, build_phrase_index.py:224-227)."""
     n, d = x.shape
-    m, dsub = pq.m, pq.dsub
-    codes = np.zeros((n, m), np.uint8)
-    for mi in range(m):
-        sub = jnp.asarray(x[:, mi * dsub:(mi + 1) * dsub], jnp.float32)
-        a = kmeans_assign(sub, jnp.asarray(pq.codebooks[mi]),
-                          chunk=min(chunk, max(256, n)))
-        codes[:, mi] = np.asarray(a).astype(np.uint8)
-    return codes
+    books = jnp.asarray(pq.codebooks)
+    rot = None if rotation is None else jnp.asarray(rotation, jnp.float32)
+    out = np.empty((n, pq.m), np.uint8)
+    rc = min(row_chunk, max(256, n))
+    for b0 in range(0, n, block):
+        xb = np.ascontiguousarray(x[b0:b0 + block])
+        c = len(xb)
+        pad = (-c) % rc
+        if pad:
+            xb = np.concatenate([xb, np.zeros((pad, d), xb.dtype)])
+        codes = _encode_chunk(
+            jnp.asarray(xb), rot if rot is not None else jnp.zeros((1, 1)),
+            books, jnp.float32(offset), jnp.float32(scale),
+            row_chunk=rc, rotate=rot is not None)
+        out[b0:b0 + c] = np.asarray(codes[:c])
+    return out
 
 
 def pq_decode(pq: PQCodebook, codes: np.ndarray) -> np.ndarray:
