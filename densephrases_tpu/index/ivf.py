@@ -54,7 +54,19 @@ from densephrases_tpu.ops.pq import (
     pq_lut,
     train_pq,
 )
-from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
+from densephrases_tpu.ops.ivf_pack import (
+    RB as PACK_RB,
+    TPB as PACK_TPB,
+    pack_budget_table,
+    packed_union_scan,
+)
+from densephrases_tpu.ops.quant import (
+    DEFAULT_OFFSET,
+    DEFAULT_SCALE,
+    INT4_OFFSET,
+    INT4_SCALE,
+    float_to_int4,
+)
 from densephrases_tpu.ops.topk import topk_merge
 
 NEG_INF = jnp.float32(-1e30)
@@ -156,10 +168,11 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
 
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "nprobe", "cap", "group",
-                                    "scan_k"))
+                                    "scan_k", "sq4"))
 def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                 pq_books, refine_codes, offset, scale, nlist_valid=None, *,
-                top_k: int, nprobe: int, cap: int, group: int, scan_k: int):
+                top_k: int, nprobe: int, cap: int, group: int, scan_k: int,
+                sq4: bool = False):
     """Batched union scan, entirely on device (no host round-trips).
 
     Probe all queries, dedupe the probed lists with a device sort (duplicates
@@ -219,6 +232,12 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                 flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [B, G*cap]
         else:
+            if sq4:
+                # packed nibbles: high nibble = first half of the feature
+                # dim (ops/quant.float_to_int4); offset/scale args carry the
+                # int4 affine contract
+                v = cand.astype(jnp.int32) & 0xFF
+                cand = jnp.concatenate([v >> 4, v & 0xF], axis=-1)
             s = jax.lax.dot_general(
                 q_bf, cand.astype(jnp.bfloat16),
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -414,10 +433,27 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
     return centroids, l1_cents, parent_offs, assign
 
 
+def _sq4_encode_stream(codes_int8: np.ndarray, offset: float, scale: float,
+                       chunk: int = 1 << 20) -> np.ndarray:
+    """Streamed int8 → packed-int4 re-quantization (SQ4; ref QT_4bit,
+    build_phrase_index.py:103-105). Blocks dequantize + re-quantize on
+    device and download packed — no O(corpus) float copy anywhere."""
+    n, d = codes_int8.shape
+    assert d % 2 == 0, "int4 packing needs an even feature dim"
+    out = np.empty((n, d // 2), np.uint8)
+    quant_in = codes_int8.dtype == np.int8
+    for s in range(0, n, chunk):
+        blk = jnp.asarray(np.ascontiguousarray(codes_int8[s:s + chunk]))
+        f = (blk.astype(jnp.float32) / scale + offset if quant_in
+             else blk.astype(jnp.float32))
+        out[s:s + chunk] = np.asarray(float_to_int4(f))
+    return out.view(np.int8)
+
+
 @dataclass
 class IVFConfig:
     num_clusters: int = 1024
-    fine_quant: str = "SQ8"  # SQ8 | PQ<m> | OPQ<m>  (ref naming, :24-28)
+    fine_quant: str = "SQ8"  # SQ8 | SQ4 | PQ<m> | OPQ<m>  (ref naming, :24-28)
     kmeans_iters: int = 10
     pq_iters: int = 6
     opq_iters: int = 4
@@ -453,8 +489,22 @@ class IVFIndex:
     def __init__(self, cfg: IVFConfig, centroids, row_perm, list_offsets,
                  codes, rotation=None, pq: Optional[PQCodebook] = None,
                  offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
-                 n_total: int = 0, refine_codes=None):
+                 n_total: int = 0, refine_codes=None,
+                 int4_offset: float = INT4_OFFSET,
+                 int4_scale: float = INT4_SCALE):
         self.cfg = cfg
+        self.sq4 = cfg.fine_quant == "SQ4"
+        self.int4_offset = float(int4_offset)
+        self.int4_scale = float(int4_scale)
+        # packed scan wants 32-row-block-addressable codes; align host-side
+        # arrays (free), leave already-uploaded device arrays alone
+        if (isinstance(codes, np.ndarray) and isinstance(row_perm, np.ndarray)
+                and codes.shape[0] % PACK_RB):
+            extra = (-codes.shape[0]) % PACK_RB
+            codes = np.concatenate(
+                [codes, np.zeros((extra,) + codes.shape[1:], codes.dtype)])
+            row_perm = np.concatenate(
+                [row_perm, np.zeros(extra, row_perm.dtype)])
         self.centroids = jnp.asarray(centroids, jnp.float32)  # [nlist, D]
         self.row_perm = jnp.asarray(row_perm)  # [N_pad] sorted row -> global id
         self.list_offsets = jnp.asarray(list_offsets, jnp.int32)  # [nlist+1]
@@ -477,6 +527,14 @@ class IVFIndex:
                 "oversized lists will be scan-truncated", self.cap,
                 cfg.max_list_scan)
             self.cap = cfg.max_list_scan
+        # exact-length packed union scan (ops/ivf_pack): viable for the
+        # raw-code quantizers whenever the code rows are 32-block-aligned
+        self.n_real = int(np.asarray(list_offsets)[-1])
+        self._packed_ok = (pq is None
+                           and int(self.codes.shape[0]) % PACK_RB == 0)
+        self._pack_table = pack_budget_table(np.asarray(list_offsets),
+                                             self.cap)
+        self.use_packed = os.environ.get("DPH_PACKED_SCAN", "1") != "0"
         self._search_cache = {}
 
     # ------------------------------------------------------------- build
@@ -607,6 +665,9 @@ class IVFIndex:
                                    scale=scale)
         elif fq == "SQ8":
             fine_codes = codes_int8
+        elif fq == "SQ4":
+            fine_codes = _sq4_encode_stream(codes_int8, offset=offset,
+                                            scale=scale)
         else:
             raise ValueError(f"unknown fine_quant {fq}")
 
@@ -616,10 +677,11 @@ class IVFIndex:
         list_offsets = np.searchsorted(
             sorted_assign, np.arange(centroids.shape[0] + 1)).astype(np.int32)
         sorted_codes = fine_codes[order]
-        # pad with CAP extra rows so dynamic_slice never clamps into data
+        # pad with CAP extra rows so dynamic_slice never clamps into data;
+        # round the total to the packed scan's 32-row block size
         lens = np.diff(list_offsets)
         cap = int(_round_up(max(int(lens.max()), 8), 8))
-        pad = cap
+        pad = _round_up(cap, PACK_RB) + (-(n + _round_up(cap, PACK_RB))) % PACK_RB
         sorted_codes = np.concatenate(
             [sorted_codes, np.zeros((pad,) + sorted_codes.shape[1:],
                                     sorted_codes.dtype)])
@@ -646,22 +708,41 @@ class IVFIndex:
         Returns (scores [B, K], gids [B, K]) — numpy if as_numpy."""
         queries = jnp.asarray(queries, jnp.float32)
         nprobe = min(nprobe, int(self.centroids.shape[0]))
-        q_rot = queries if self.rotation is None else queries @ self.rotation
         is_pq = self.pq_books is not None
-        do_refine = is_pq and self.refine_codes is not None
-        scan_k = (min(top_k * self.cfg.refine_factor, max(self.n_total, 1))
-                  if do_refine else min(top_k, max(self.n_total, 1)))
-        # group size: bound the per-step working set (one-hot expansion for
-        # PQ, raw int8 rows for SQ8) to keep VMEM pressure flat
-        mdim = int(self.codes.shape[1])
-        row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
-                      else 8 * 1024 * 1024 // max(mdim, 1))
-        group = int(np.clip(row_budget // max(self.cap, 1), 1, 64))
-        vals, ids = _union_scan(
-            queries, q_rot, self.centroids, self.list_offsets, self.codes,
-            self.row_perm, self.pq_books, self.refine_codes,
-            jnp.float32(self.offset), jnp.float32(self.scale), top_k=top_k,
-            nprobe=nprobe, cap=self.cap, group=group, scan_k=scan_k)
+        off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
+                   else (self.offset, self.scale))
+        if not is_pq and self.use_packed and self._packed_ok:
+            # exact-length block DMA (ops/ivf_pack): HBM traffic ~sum(len)
+            # instead of cap × nlists — kills the fixed-cap read amplification
+            b = int(queries.shape[0])
+            u_cap = min(b * nprobe, int(self.centroids.shape[0]))
+            budget = _round_up(max(int(self._pack_table[u_cap - 1]),
+                                   PACK_TPB), PACK_TPB)
+            vals, ids = packed_union_scan(
+                queries, self.centroids, self.list_offsets, self.codes,
+                self.row_perm, jnp.float32(off), jnp.float32(sc),
+                top_k=top_k, nprobe=nprobe, cap=self.cap, budget=budget,
+                n_real=self.n_real, sq4=self.sq4,
+                interpret=(jax.default_backend() != "tpu"))
+        else:
+            q_rot = (queries if self.rotation is None
+                     else queries @ self.rotation)
+            do_refine = is_pq and self.refine_codes is not None
+            scan_k = (min(top_k * self.cfg.refine_factor,
+                          max(self.n_total, 1))
+                      if do_refine else min(top_k, max(self.n_total, 1)))
+            # group size: bound the per-step working set (one-hot expansion
+            # for PQ, raw int8 rows for SQ8) to keep VMEM pressure flat
+            mdim = int(self.codes.shape[1])
+            row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
+                          else 8 * 1024 * 1024 // max(mdim, 1))
+            group = int(np.clip(row_budget // max(self.cap, 1), 1, 64))
+            vals, ids = _union_scan(
+                queries, q_rot, self.centroids, self.list_offsets,
+                self.codes, self.row_perm, self.pq_books, self.refine_codes,
+                jnp.float32(off), jnp.float32(sc), top_k=top_k,
+                nprobe=nprobe, cap=self.cap, group=group, scan_k=scan_k,
+                sq4=self.sq4)
         if vals.shape[1] < top_k:  # corpus smaller than top_k: pad
             pad = top_k - vals.shape[1]
             vals = jnp.concatenate(
@@ -681,7 +762,12 @@ class IVFIndex:
         Batches of ≥ prefer_union_batch queries route to the union-scan
         formulation (one shared candidate gather for the whole batch)."""
         queries = jnp.asarray(queries, jnp.float32)
-        if queries.shape[0] >= getattr(self.cfg, "prefer_union_batch", 4):
+        # SQ4 lists only exist in the union-scan formulations (the per-probe
+        # scan never learned to unpack nibbles — by design: single queries
+        # route through the packed scan just as efficiently)
+        if (self.sq4
+                or queries.shape[0] >= getattr(self.cfg,
+                                               "prefer_union_batch", 4)):
             return self.search_union(queries, top_k=top_k, nprobe=nprobe,
                                      as_numpy=as_numpy)
         nprobe = min(nprobe, int(self.centroids.shape[0]))
@@ -730,7 +816,9 @@ class IVFIndex:
         extra = {"cfg": self.cfg, "rotation": None if self.rotation is None
                  else np.asarray(self.rotation),
                  "pq": self.pq, "offset": self.offset, "scale": self.scale,
-                 "n_total": self.n_total}
+                 "n_total": self.n_total,
+                 "int4_offset": self.int4_offset,
+                 "int4_scale": self.int4_scale}
         with open(os.path.join(path, "ivf.pkl"), "wb") as f:
             pickle.dump(extra, f)
 
@@ -749,6 +837,8 @@ class IVFIndex:
             rotation=extra["rotation"], pq=extra["pq"],
             offset=extra["offset"], scale=extra["scale"],
             n_total=extra["n_total"], refine_codes=refine,
+            int4_offset=extra.get("int4_offset", INT4_OFFSET),
+            int4_scale=extra.get("int4_scale", INT4_SCALE),
         )
 
 

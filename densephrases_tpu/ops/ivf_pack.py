@@ -1,0 +1,211 @@
+"""Exact-length IVF list scan: scalar-prefetch Pallas pack+score kernel.
+
+The grouped union scan (index/ivf.py:_union_scan) reads every probed list
+through a fixed-size dynamic_slice of CAP rows (CAP = longest list). After
+balance/force-partition the cap/mean ratio is ~4.6 (10.5M measurement:
+cap 480, mean 105), so ~78% of the scan's HBM traffic is padding.
+
+This module removes that read amplification with a Pallas kernel driven by
+scalar-prefetched *block* indices:
+
+- Probed lists are deduped on device (sort + sentinel, as in the grouped
+  scan), then flattened into a sequence of 32-row BLOCKS covering exactly
+  [align32(offs), align32(offs+len)) of each unique list — i.e. each
+  list's true extent rounded to the int8 tile sublane, not CAP.
+- The kernel's input BlockSpec index_map reads the prefetched block table:
+  grid step (t, b) DMAs codes block ``blk[t*TPB+b]`` (32 rows) into a
+  VMEM tile; every TPB-th step scores the assembled [256, D] tile against
+  the VMEM-resident query batch with ONE MXU matmul. Pallas double-buffers
+  the 32-row DMAs across grid steps automatically.
+- The block budget is the STATIC worst case (sum of the U longest lists'
+  block counts, U = B*nprobe), so no overflow path exists. Unused budget
+  slots all map to the same trailing pad block — Pallas skips the re-DMA
+  when consecutive steps map to the same block, so junk slots cost a
+  (predicated-off) matmul step, not bandwidth.
+
+Semantics vs the grouped scan: the packed scan scores every query against
+the UNION of the batch's probed lists (no per-query membership mask) and
+against up-to-31 edge rows of lists adjacent to a probed list (block
+alignment). Both only ADD true-scored candidates — recall is ≥ the
+masked per-query scan's — and candidate ids remain exact. FAISS-parity
+per-query-nprobe masking is available in the grouped fallback.
+
+Disjoint coverage: consecutive probed lists can share a boundary block
+(list i's extent ends and list i+1's begins inside the same 32-row
+block). Block starts are therefore adjusted to ``max(b0_i, e_{i-1})``
+(e = exclusive end block of the previous unique list), which provably
+keeps coverage BOTH disjoint (no row scored twice → no duplicate ids in
+top-k) and complete: lists are disjoint sorted row ranges, so
+``e_{i-1} <= b0_i + 1``, and the at-most-one skipped block ``b0_i`` lies
+in ``[b0_{i-1}, e_{i-1})`` — already covered (induction over i). With
+nprobe = nlist this makes the scan EXACTLY equal to a flat scan over the
+quantized codes.
+
+Ref role: this replaces the FAISS inverted-list scan loop
+(/root/reference/densephrases/index.py:189-202 search_dense → faiss
+IVF scan) for the SQ8/SQ4 fine-quant paths.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = jnp.float32(-1e30)
+
+RB = 32          # rows per DMA block (int8 min tile sublane)
+TPB = 8          # blocks per scored tile
+TILE = RB * TPB  # rows per MXU matmul
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pack_score_kernel(blk_ref, q_ref, codes_ref, out_ref, tile_ref, *,
+                       sq4: bool):
+    """Grid (T_tiles, TPB). Copies one 32-row code block per step into the
+    persistent VMEM tile; on the tile's last block, scores the whole tile
+    against the resident query batch (one [B,D]x[D,TILE] MXU matmul)."""
+    del blk_ref  # consumed by the index_map only
+    b = pl.program_id(1)
+    tile_ref[pl.ds(b * RB, RB), :] = codes_ref[:]
+
+    @pl.when(b == TPB - 1)
+    def _():
+        if sq4:
+            # packed nibbles -> [TILE, D] raw codes (int4 affine contract:
+            # high nibble = first half of the feature dim, ops/quant.py)
+            v = tile_ref[:].astype(jnp.int32) & 0xFF
+            t = jnp.concatenate([v >> 4, v & 0xF], axis=1).astype(jnp.bfloat16)
+        else:
+            t = tile_ref[:].astype(jnp.bfloat16)
+        out_ref[:] = jax.lax.dot_general(
+            q_ref[:], t, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _pack_score(q_bf, codes, blk, *, budget: int, sq4: bool,
+                interpret: bool = False):
+    """q_bf [B_pad, D] bf16, codes [N_pad, Dc] int8 (N_pad % 32 == 0),
+    blk [budget] int32 block table → raw scores [B_pad, budget*RB] f32."""
+    bp, d = q_bf.shape
+    n_tiles = budget // TPB
+    dc = codes.shape[1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, TPB),
+        in_specs=[
+            pl.BlockSpec((bp, d), lambda t, b, blk_ref: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, dc),
+                         lambda t, b, blk_ref: (blk_ref[t * TPB + b], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, TILE), lambda t, b, blk_ref: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE, dc), jnp.int8)],
+    )
+    return pl.pallas_call(
+        functools.partial(_pack_score_kernel, sq4=sq4),
+        out_shape=jax.ShapeDtypeStruct((bp, n_tiles * TILE), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(blk, q_bf, codes)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "nprobe", "cap", "budget", "n_real",
+                              "sq4", "interpret", "exact_topk"))
+def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
+                      offset, scale, nlist_valid=None, *, top_k: int,
+                      nprobe: int, cap: int, budget: int, n_real: int,
+                      sq4: bool = False, interpret: bool = False,
+                      exact_topk: bool = True):
+    """One-dispatch IVF search with exact-length list reads.
+
+    q_raw [B, D] f32; codes [N_pad, Dc] int8 sorted by list, N_pad % 32 == 0
+    with >= RB trailing pad rows; budget: static block budget (use
+    IVFIndex._pack_budget — the worst-case sum, so it never overflows).
+    offset/scale: the affine contract of the STORED codes (int8 contract
+    for SQ8, int4 contract for SQ4). Returns (vals [B,K] f32, gids [B,K]).
+    """
+    b, d = q_raw.shape
+    nlist = centroids.shape[0]
+
+    # ---- probe (max inner product over centroids, ref: index.py:53,62)
+    c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
+                          centroids.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    if nlist_valid is not None:
+        c_scores = jnp.where(
+            jnp.arange(nlist)[None, :] < nlist_valid, c_scores, NEG_INF)
+    _, probe_ids = jax.lax.top_k(c_scores, nprobe)  # [B, P]
+
+    # ---- dedup probed lists on device (sentinel sorts last)
+    flat = jnp.sort(probe_ids.reshape(-1))
+    keep = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    uniq = jnp.sort(jnp.where(keep, flat, nlist))  # [U]
+    u_n = uniq.shape[0]
+    valid_l = uniq < nlist
+    lic = jnp.minimum(uniq, nlist - 1).astype(jnp.int32)
+    offs = list_offsets[lic]
+    lens = jnp.where(valid_l,
+                     jnp.minimum(list_offsets[lic + 1] - offs, cap), 0)
+
+    # ---- flatten to a 32-row block table (exact extents, 32-aligned,
+    # starts adjusted so consecutive lists' coverage is disjoint — see
+    # "Disjoint coverage" in the module docstring)
+    pad_blk = codes.shape[0] // RB - 1  # all-pad trailing block
+    b0 = offs // RB
+    e = (offs + lens + RB - 1) // RB  # exclusive end block, non-decreasing
+    start = jnp.maximum(b0, jnp.concatenate(
+        [jnp.zeros((1,), e.dtype), e[:-1]]))
+    bc = jnp.where(valid_l, jnp.maximum(e - start, 0), 0)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bc).astype(jnp.int32)])
+    total = cum[u_n]
+    j = jnp.arange(budget, dtype=jnp.int32)
+    u_of = jnp.clip(
+        jnp.searchsorted(cum, j, side="right") - 1, 0, u_n - 1)
+    blk = jnp.where(j < total, start[u_of] + (j - cum[u_of]),
+                    pad_blk).astype(jnp.int32)
+
+    # ---- pack + score (Pallas; queries resident in VMEM)
+    bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
+    q_bf = jnp.zeros((bp, d), jnp.bfloat16).at[:b].set(
+        q_raw.astype(jnp.bfloat16))
+    raw = _pack_score(q_bf, codes, blk, budget=budget, sq4=sq4,
+                      interpret=interpret)[:b]  # [B, budget*RB]
+
+    # ---- affine correction + validity mask + top-k
+    qsum = q_raw.sum(-1) * offset
+    r = jnp.arange(budget * RB, dtype=jnp.int32)
+    src = blk[r // RB] * RB + (r % RB)  # packed row -> sorted-row id
+    valid = ((r // RB) < total) & (src < n_real)
+    s = jnp.where(valid[None, :], raw / scale + qsum[:, None], NEG_INF)
+    k = min(top_k, s.shape[1])
+    if exact_topk:
+        vals, pos = jax.lax.top_k(s, k)
+    else:
+        vals, pos = jax.lax.approx_max_k(s, k, recall_target=0.98)
+    rows = jnp.take(src, pos)
+    gids = row_perm[jnp.clip(rows, 0, row_perm.shape[0] - 1)]
+    return vals, gids
+
+
+def pack_budget_table(list_offsets: np.ndarray, cap: int) -> np.ndarray:
+    """Descending cumulative block counts: budget for U unique lists =
+    table[min(U, nlist) - 1] (the exact worst case — the U longest lists,
+    block counts including the up-to-1 alignment block)."""
+    offs = np.asarray(list_offsets, np.int64)
+    lens = np.minimum(np.diff(offs), cap)
+    nblk = (offs[:-1] + lens + RB - 1) // RB - offs[:-1] // RB
+    nblk = np.sort(nblk)[::-1]
+    return np.cumsum(nblk)

@@ -108,6 +108,10 @@ def test_tiered_ivf_matches_device_ivf(tmp_path):
 
     ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64, fine_quant="SQ8",
                                           kmeans_iters=4))
+    # pin the grouped (per-query-masked) formulation: the tiered host scan
+    # implements FAISS-parity masking, while the packed scan deliberately
+    # scores the batch union (superset candidates — see ops/ivf_pack)
+    ivf.use_packed = False
     dv, di = ivf.search_union(queries, top_k=10, nprobe=16)
 
     ivf.save(str(tmp_path / "ivf"))
