@@ -179,6 +179,7 @@ class FlatIndex:
             else:
                 self.codes = jax.device_put(padded)
         self._search_fn = self._build_search_fn()
+        self._bench_cache = {}
 
     def _build_search_fn(self):
         offset, scale = self.offset, self.scale
@@ -293,3 +294,25 @@ class FlatIndex:
         if as_numpy:
             return np.asarray(vals), np.asarray(ids)
         return vals, ids
+
+    def bench_repeat(self, queries, top_k: int = 20, reps: int = 16):
+        """Dispatch-amortized scan timing: ``reps`` perturbed scans inside
+        ONE jitted fori_loop, returning a scalar checksum (fetch it and
+        divide the wall time by reps). See IVFIndex.bench_union_repeat for
+        why: high-latency links cannot resolve sub-10-ms scans per call."""
+        queries = jnp.asarray(queries, jnp.float32)
+        k = min(top_k, self.n_total)
+        key = (int(queries.shape[0]), k, reps)
+        run = self._bench_cache.get(key)
+        if run is None:
+            fn = self._search_fn
+
+            @jax.jit
+            def run(q):
+                def body(i, acc):
+                    v, ids = fn(q + i.astype(jnp.float32) * 1e-4, k)
+                    return acc + v.sum() + ids.astype(jnp.float32).sum()
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+            self._bench_cache[key] = run
+        return run(queries)

@@ -517,6 +517,12 @@ class IVFIndex:
         self.n_total = n_total
         self.refine_codes = (None if refine_codes is None
                              else jnp.asarray(refine_codes))  # [N, D] int8
+        # host-side references (when constructed from host arrays): lets
+        # save() write from host memory instead of pulling the device
+        # copy back over a slow D2H link; dropped after the first save
+        self._host_arrays = {
+            k: v for k, v in (("codes", codes), ("refine", refine_codes))
+            if isinstance(v, np.ndarray)}
         lens = np.diff(np.asarray(list_offsets))
         self.cap = int(_round_up(max(int(lens.max()), 8), 8))
         if self.cap > cfg.max_list_scan:
@@ -541,37 +547,34 @@ class IVFIndex:
     @staticmethod
     def build(codes_int8: np.ndarray, cfg: IVFConfig,
               offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
-              verbose: bool = False) -> "IVFIndex":
-        """codes_int8: the store's int8 vectors [N, D] (quantized floats)."""
+              verbose: bool = False,
+              coarse_cache: Optional[str] = None) -> "IVFIndex":
+        """codes_int8: the store's int8 vectors [N, D] (quantized floats).
+
+        coarse_cache: optional directory caching the trained coarse
+        quantizer (centroids + corpus assignment). Building several fine
+        quantizations of ONE corpus (SQ8/SQ4/OPQ variants, the reference's
+        index sweep in build_phrase_index.py:95-116) then shares the
+        expensive coarse phase — at 10M x 768 that phase is ~40 min.
+        """
         n, d = codes_int8.shape
-        rng = np.random.default_rng(cfg.seed)
+        if coarse_cache is not None:
+            done = os.path.join(coarse_cache, "coarse.done")
+            if os.path.exists(done):
+                centroids = np.load(os.path.join(coarse_cache,
+                                                 "centroids.npy"))
+                assign = np.load(os.path.join(coarse_cache, "assign.npy"))
+                assert assign.shape[0] == n, "coarse cache is for another corpus"
+                return IVFIndex._finish_build(
+                    codes_int8, cfg, centroids, assign, offset, scale,
+                    verbose)
         # NO build path materializes an O(corpus) float copy: SQ8 reuses
         # the int8 codes; PQ/OPQ train on the int8-resident sample and
         # encode the corpus by STREAMING int8 blocks through the device
         # (dequant + rotate + assign fused on device; see ops/pq.pq_encode)
 
-        # --- sample for training (ref: build_phrase_index.py:60-93).
-        # The sample stays in int8 end-to-end (sorted indices → sequential
-        # memmap reads; no O(sample) f32 materialization — the temp chains
-        # dominated build time on slow-memory hosts); the k-means stack
-        # consumes raw codes via the affine contract.
-        if cfg.sample_ratio < 1.0:
-            take = max(int(n * cfg.sample_ratio), min(n, cfg.num_clusters * 4))
-            sel = np.sort(rng.choice(n, size=min(take, n), replace=False))
-        else:
-            sel = np.arange(n)
-        sample = np.ascontiguousarray(codes_int8[sel])
-        s_quant = sample.dtype == np.int8
-        s_off, s_scale = (offset, scale) if s_quant else (0.0, 1.0)
-        if cfg.norm_th < 999.0:
-            # norms on device (one upload, tiny download)
-            sv = jnp.asarray(sample)
-            norms = np.asarray(jnp.sqrt(jnp.sum(
-                (sv.astype(jnp.float32) / s_scale + s_off) ** 2, axis=1)))
-            del sv
-            kept = sample[norms < cfg.norm_th]
-            if len(kept) >= cfg.num_clusters:
-                sample = kept
+        sample, s_off, s_scale = IVFIndex._train_sample(
+            codes_int8, cfg, offset, scale)
 
         # --- coarse quantizer. Flat Lloyd for moderate nlist; two-level
         # hierarchical k-means at reference scale (nlist up to 2^20,
@@ -642,6 +645,57 @@ class IVFIndex:
                 centroids, assign,
                 cfg.balance_factor * max(n / centroids.shape[0], 1.0))
 
+        if coarse_cache is not None:
+            os.makedirs(coarse_cache, exist_ok=True)
+            np.save(os.path.join(coarse_cache, "centroids.npy"),
+                    np.asarray(centroids))
+            np.save(os.path.join(coarse_cache, "assign.npy"),
+                    np.asarray(assign))
+            with open(os.path.join(coarse_cache, "coarse.done"), "w") as f:
+                f.write("ok\n")
+        return IVFIndex._finish_build(codes_int8, cfg, centroids, assign,
+                                      offset, scale, verbose)
+
+    @staticmethod
+    def _train_sample(codes_int8: np.ndarray, cfg: IVFConfig, offset: float,
+                      scale: float):
+        """Training subsample (ref: build_phrase_index.py:60-93).
+
+        The sample stays in int8 end-to-end (sorted indices → sequential
+        memmap reads; no O(sample) f32 materialization — the temp chains
+        dominated build time on slow-memory hosts); the k-means stack
+        consumes raw codes via the affine contract. Deterministic in
+        cfg.seed, so build and _finish_build recompute the same sample.
+        """
+        n = codes_int8.shape[0]
+        rng = np.random.default_rng(cfg.seed)
+        if cfg.sample_ratio < 1.0:
+            take = max(int(n * cfg.sample_ratio), min(n, cfg.num_clusters * 4))
+            sel = np.sort(rng.choice(n, size=min(take, n), replace=False))
+        else:
+            sel = np.arange(n)
+        sample = np.ascontiguousarray(codes_int8[sel])
+        s_quant = sample.dtype == np.int8
+        s_off, s_scale = (offset, scale) if s_quant else (0.0, 1.0)
+        if cfg.norm_th < 999.0:
+            # norms on device (one upload, tiny download)
+            sv = jnp.asarray(sample)
+            norms = np.asarray(jnp.sqrt(jnp.sum(
+                (sv.astype(jnp.float32) / s_scale + s_off) ** 2, axis=1)))
+            del sv
+            kept = sample[norms < cfg.norm_th]
+            if len(kept) >= cfg.num_clusters:
+                sample = kept
+        return sample, s_off, s_scale
+
+    @staticmethod
+    def _finish_build(codes_int8: np.ndarray, cfg: IVFConfig,
+                      centroids: np.ndarray, assign: np.ndarray,
+                      offset: float, scale: float,
+                      verbose: bool = False) -> "IVFIndex":
+        """Fine quantization + list layout, given a trained coarse quantizer
+        (the second half of build; entry point for coarse_cache hits)."""
+        n, d = codes_int8.shape
         # --- fine quantization. Training consumes the int8-resident sample
         # (one upload, dequant on device); the corpus encode streams int8
         # blocks through a fused dequant(+rotate)+assign device pipeline.
@@ -650,6 +704,8 @@ class IVFIndex:
         fq = cfg.fine_quant
         if fq.startswith("OPQ"):
             m = int(fq[3:])
+            sample, s_off, s_scale = IVFIndex._train_sample(
+                codes_int8, cfg, offset, scale)
             opq = train_opq(sample, m, niter=cfg.opq_iters,
                             pq_iters=cfg.pq_iters, seed=cfg.seed,
                             verbose=verbose, offset=s_off, scale=s_scale)
@@ -659,6 +715,8 @@ class IVFIndex:
                                    scale=scale, rotation=rotation)
         elif fq.startswith("PQ"):
             m = int(fq[2:])
+            sample, s_off, s_scale = IVFIndex._train_sample(
+                codes_int8, cfg, offset, scale)
             pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed,
                           offset=s_off, scale=s_scale)
             fine_codes = pq_encode(pq, codes_int8, offset=offset,
@@ -804,15 +862,88 @@ class IVFIndex:
         return searcher
 
     # ------------------------------------------------------------- io
+    # --------------------------------------------------- bench harness
+    def bench_union_repeat(self, queries, top_k: int = 20, nprobe: int = 64,
+                           reps: int = 16, packed: Optional[bool] = None):
+        """Dispatch-amortized union-scan timing: run ``reps`` perturbed
+        scans inside ONE jitted fori_loop and return a scalar checksum
+        (a device array — fetch it and divide the wall time by reps).
+
+        On high-latency links (the dev tunnel: ~30-60 ms per round trip)
+        per-call value-fetch timing cannot resolve sub-10-ms scans; this
+        amortizes one dispatch + one fetch over the whole loop. Queries
+        are perturbed per iteration so CSE cannot collapse the loop body.
+        ``packed`` pins the scan formulation (None = the search default).
+        """
+        queries = jnp.asarray(queries, jnp.float32)
+        nprobe = min(nprobe, int(self.centroids.shape[0]))
+        if packed is None:
+            packed = (self.pq_books is None and self.use_packed
+                      and self._packed_ok)
+        off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
+                   else (self.offset, self.scale))
+        b = int(queries.shape[0])
+        key = ("bench_union", bool(packed), top_k, nprobe, reps, b)
+        run = self._search_cache.get(key)
+        if run is None:
+            interp = jax.default_backend() != "tpu"
+            if packed:
+                u_cap = min(b * nprobe, int(self.centroids.shape[0]))
+                budget = _round_up(max(int(self._pack_table[u_cap - 1]),
+                                       PACK_TPB), PACK_TPB)
+
+                def one(q):
+                    return packed_union_scan(
+                        q, self.centroids, self.list_offsets, self.codes,
+                        self.row_perm, jnp.float32(off), jnp.float32(sc),
+                        top_k=top_k, nprobe=nprobe, cap=self.cap,
+                        budget=budget, n_real=self.n_real, sq4=self.sq4,
+                        interpret=interp)
+            else:
+                is_pq = self.pq_books is not None
+                do_refine = is_pq and self.refine_codes is not None
+                scan_k = (min(top_k * self.cfg.refine_factor,
+                              max(self.n_total, 1))
+                          if do_refine else min(top_k, max(self.n_total, 1)))
+                mdim = int(self.codes.shape[1])
+                row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
+                              else 8 * 1024 * 1024 // max(mdim, 1))
+                group = int(np.clip(row_budget // max(self.cap, 1), 1, 64))
+
+                def one(q):
+                    q_rot = (q if self.rotation is None
+                             else q @ self.rotation)
+                    return _union_scan(
+                        q, q_rot, self.centroids, self.list_offsets,
+                        self.codes, self.row_perm, self.pq_books,
+                        self.refine_codes, jnp.float32(off),
+                        jnp.float32(sc), top_k=top_k, nprobe=nprobe,
+                        cap=self.cap, group=group, scan_k=scan_k,
+                        sq4=self.sq4)
+
+            @jax.jit
+            def run(q):
+                def body(i, acc):
+                    v, g = one(q + i.astype(jnp.float32) * 1e-4)
+                    return acc + v.sum() + g.astype(jnp.float32).sum()
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+            self._search_cache[key] = run
+        return run(queries)
+
     def save(self, path: str):
         os.makedirs(path, exist_ok=True)
         np.save(os.path.join(path, "centroids.npy"), np.asarray(self.centroids))
         np.save(os.path.join(path, "row_perm.npy"), np.asarray(self.row_perm))
         np.save(os.path.join(path, "list_offsets.npy"), np.asarray(self.list_offsets))
-        np.save(os.path.join(path, "codes.npy"), np.asarray(self.codes))
+        host = getattr(self, "_host_arrays", {})
+        np.save(os.path.join(path, "codes.npy"),
+                host["codes"] if "codes" in host else np.asarray(self.codes))
         if self.refine_codes is not None:
             np.save(os.path.join(path, "refine_codes.npy"),
-                    np.asarray(self.refine_codes))
+                    host["refine"] if "refine" in host
+                    else np.asarray(self.refine_codes))
+        self._host_arrays = {}
         extra = {"cfg": self.cfg, "rotation": None if self.rotation is None
                  else np.asarray(self.rotation),
                  "pq": self.pq, "offset": self.offset, "scale": self.scale,
@@ -827,13 +958,16 @@ class IVFIndex:
         with open(os.path.join(path, "ivf.pkl"), "rb") as f:
             extra = pickle.load(f)
         refine_path = os.path.join(path, "refine_codes.npy")
-        refine = np.load(refine_path) if os.path.exists(refine_path) else None
+        # big arrays load memory-mapped: the device upload streams from
+        # disk and nothing is pinned in host RSS
+        refine = (np.load(refine_path, mmap_mode="r")
+                  if os.path.exists(refine_path) else None)
         return IVFIndex(
             extra["cfg"],
             np.load(os.path.join(path, "centroids.npy")),
             np.load(os.path.join(path, "row_perm.npy")),
             np.load(os.path.join(path, "list_offsets.npy")),
-            np.load(os.path.join(path, "codes.npy")),
+            np.load(os.path.join(path, "codes.npy"), mmap_mode="r"),
             rotation=extra["rotation"], pq=extra["pq"],
             offset=extra["offset"], scale=extra["scale"],
             n_total=extra["n_total"], refine_codes=refine,

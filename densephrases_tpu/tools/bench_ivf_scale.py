@@ -1,9 +1,25 @@
-"""IVF-vs-flat at scale: the measurement VERDICT r1 asked for.
+"""IVF-vs-flat at scale: the at-scale measurement grid.
 
-Builds a >=10M-vector clustered corpus, an exact flat index, and a
-two-level-trained IVF (nlist ~ 2^16), then measures single-query and
-batch-64 latency plus recall@20 against the exact scan. Writes one JSON
-blob to docs/IVF_SCALE.json and prints it.
+Builds a >=10M-vector clustered corpus, an exact flat index, and IVF
+indexes for EACH requested fine quantization (SQ8 / SQ4 / OPQ96 — the
+reference's headline index is 1048576_flat_OPQ96, README.md:171-178),
+then measures:
+
+- per-call latency (tunnel round trip included) at batch 1 and 64,
+- dispatch-amortized per-scan device time (reps scans in ONE jitted
+  fori_loop — the only way to resolve sub-10-ms scans through a
+  ~30-60 ms-RTT link),
+- packed (exact-length block DMA, ops/ivf_pack) vs grouped (fixed-cap
+  dynamic_slice) union-scan time for the raw-code quantizers,
+- recall@20 against the exact flat scan, and index byte sizes.
+
+Writes one JSON blob to docs/IVF_SCALE.json and prints it.
+
+Crash-resumable end to end (the TPU worker can die mid-job): the corpus
+is memmap-cached, the coarse quantizer is cached and SHARED by all fine
+quants (IVFIndex.build coarse_cache), every built index is saved to
+disk with a .done marker, and partial results flush to the output JSON
+after every phase (existing keys are skipped on re-run).
 
 Designed around this environment's asymmetric tunnel (H2D ~1 GB/s, D2H
 ~22 MB/s) and its single slow host core:
@@ -13,8 +29,7 @@ Designed around this environment's asymmetric tunnel (H2D ~1 GB/s, D2H
   flat phase — zero transfers on the exact-scan path;
 - it is streamed D2H once into a disk memmap cache so the IVF build
   phase (whose k-means drivers stream host blocks H2D) and any re-run
-  after a crash never regenerate;
-- partial results are flushed to the output JSON after every phase.
+  after a crash never regenerate.
 
 Run on the live TPU:  python tools/bench_ivf_scale.py [--n 10485760]
 (never kill it mid-run — see the tunnel note in .claude/skills/verify)
@@ -23,9 +38,9 @@ Run on the live TPU:  python tools/bench_ivf_scale.py [--n 10485760]
 import argparse
 import json
 import os
+import shutil
 import sys
 import time
-from functools import partial
 
 import numpy as np
 
@@ -47,6 +62,7 @@ def gen_corpus_device(n: int, d: int, n_clusters: int = 4096, seed: int = 0,
     import jax
     import jax.numpy as jnp
 
+    block = min(block, n)
     assert n % block == 0, f"n={n} must be a multiple of block={block}"
     n_blocks = n // block
     key = jax.random.PRNGKey(seed)
@@ -103,6 +119,36 @@ def timed(fn, n_rep: int = 5, warmup: int = 2):
     return float(np.median(ts))
 
 
+def dispatch_floor_ms(n: int = 6) -> float:
+    """Measured round-trip floor of a trivial dispatch + value fetch."""
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((8, 8), jnp.float32)
+    f = jax.jit(lambda a: (a * 2).sum())
+    float(f(x))  # compile
+    ts = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return 1000.0 * ts[len(ts) // 2]
+
+
+def amortized_ms(run_fn, reps: int, floor_ms: float, n_rep: int = 3) -> float:
+    """Per-iteration ms of a fori-loop bench callable (see
+    IVFIndex.bench_union_repeat): fetch the checksum, subtract the
+    dispatch floor, divide by reps; median over n_rep runs."""
+    float(run_fn())  # compile + warm
+    ts = []
+    for _ in range(n_rep):
+        t0 = time.perf_counter()
+        float(run_fn())
+        ts.append(time.perf_counter() - t0)
+    return max(1000.0 * float(np.median(ts)) - floor_ms, 0.0) / reps
+
+
 def main():
     import logging
 
@@ -115,9 +161,18 @@ def main():
     ap.add_argument("--n", type=int, default=10 << 20)
     ap.add_argument("--d", type=int, default=768)
     ap.add_argument("--nlist", type=int, default=65536)
+    ap.add_argument("--quants", default="SQ8,SQ4,OPQ96",
+                    help="comma list of fine quantizations to build+measure")
+    ap.add_argument("--reps", type=int, default=16,
+                    help="fori-loop repeats for amortized timings")
     ap.add_argument("--cache", default=None,
                     help="corpus memmap cache path (.npy); default "
                          "/tmp/ivf_scale_corpus_{n}x{d}.npy")
+    ap.add_argument("--workdir", default="/tmp",
+                    help="where coarse/index caches live")
+    ap.add_argument("--fresh", action="store_true",
+                    help="ignore an existing output JSON (still reuses "
+                         "corpus/coarse/index caches)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "docs", "IVF_SCALE.json"))
     args = ap.parse_args()
@@ -131,8 +186,20 @@ def main():
     cache = args.cache or f"/tmp/ivf_scale_corpus_{args.n}x{args.d}.npy"
     out_path = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
-    res = {"n": args.n, "d": args.d, "nlist": args.nlist,
-           "backend": jax.default_backend()}
+    res = {}
+    if not args.fresh and os.path.exists(out_path):
+        with open(out_path) as f:
+            res = json.load(f)
+        if (res.get("n"), res.get("d"), res.get("nlist")) != (
+                args.n, args.d, args.nlist):
+            res = {}
+    quants = [q.strip() for q in args.quants.split(",")]
+    # drop keys from other runs / the old single-quant format
+    keep = {f"ivf_{q}" for q in quants}
+    res = {k: v for k, v in res.items()
+           if not k.startswith("ivf_") or k in keep}
+    res.update({"n": args.n, "d": args.d, "nlist": args.nlist,
+                "backend": jax.default_backend(), "reps": args.reps})
 
     def flush():
         with open(out_path, "w") as f:
@@ -159,6 +226,8 @@ def main():
         cache_corpus(codes_dev, cache)
         host_codes = np.load(cache, mmap_mode="r")
     res["corpus_s"] = round(time.perf_counter() - t0, 1)
+    floor_ms = dispatch_floor_ms()
+    res["roundtrip_floor_ms"] = round(floor_ms, 2)
     flush()
 
     # queries: perturbed corpus rows, sampled on device (D2H is tiny)
@@ -173,56 +242,112 @@ def main():
     flat = FlatIndex(codes_dev, chunk=65536)
     ev1, ei1 = flat.search(q1, top_k=20)
     ev64, ei64 = flat.search(q64, top_k=20)
-    res["flat_b1_ms"] = round(1000 * timed(
-        lambda: flat.search(q1, top_k=20)), 2)
-    res["flat_b64_ms"] = round(1000 * timed(
-        lambda: flat.search(q64, top_k=20)), 2)
-    res["flat_b64_qps"] = round(64 / (res["flat_b64_ms"] / 1000), 1)
-    print(f"flat: b1 {res['flat_b1_ms']} ms, b64 {res['flat_b64_ms']} ms",
-          flush=True)
+    if "flat_b64_ms" not in res:
+        res["flat_b1_ms"] = round(1000 * timed(
+            lambda: flat.search(q1, top_k=20)), 2)
+        res["flat_b64_ms"] = round(1000 * timed(
+            lambda: flat.search(q64, top_k=20)), 2)
+        res["flat_b64_qps"] = round(64 / (res["flat_b64_ms"] / 1000), 1)
+    if "flat_rep_b64_ms" not in res:
+        res["flat_rep_b64_ms"] = round(amortized_ms(
+            lambda: flat.bench_repeat(q64, top_k=20, reps=args.reps),
+            args.reps, floor_ms), 2)
+        res["flat_rep_b1_ms"] = round(amortized_ms(
+            lambda: flat.bench_repeat(q1, top_k=20, reps=args.reps),
+            args.reps, floor_ms), 2)
+    res["flat_bytes"] = int(args.n) * int(args.d)
+    print(f"flat: b1 {res['flat_b1_ms']} ms, b64 {res['flat_b64_ms']} ms, "
+          f"amortized b64 {res['flat_rep_b64_ms']} ms", flush=True)
     flush()
     # free the flat device buffers before the IVF goes up (HBM budget)
     del flat, codes_dev
     jax.clear_caches()
 
-    # ---------------- IVF build (two-level quantizer) ----------------
-    print(f"building IVF nlist={args.nlist} (two-level) ...", flush=True)
-    t0 = time.perf_counter()
-    cfg = IVFConfig(num_clusters=args.nlist, fine_quant="SQ8",
-                    kmeans_iters=6, sample_ratio=min(1.0, 1e6 / args.n),
-                    balance_factor=4.0)
-    ivf = IVFIndex.build(host_codes, cfg, verbose=True)
-    res["ivf_build_s"] = round(time.perf_counter() - t0, 1)
-    res["ivf_nlist_actual"] = int(ivf.centroids.shape[0])
-    res["ivf_cap"] = int(ivf.cap)
-    lens = np.diff(np.asarray(ivf.list_offsets))
-    res["ivf_list_mean"] = round(float(lens.mean()), 1)
-    res["ivf_list_max"] = int(lens.max())
-    print(f"build {res['ivf_build_s']}s, nlist {res['ivf_nlist_actual']}, "
-          f"list mean {res['ivf_list_mean']} max {res['ivf_list_max']}",
-          flush=True)
-    flush()
-
+    # ---------------- IVF builds (coarse phase shared across quants) ----
     def recall(ids, exact):
         return float(np.mean([
             len(set(a.tolist()) & set(b.tolist())) / exact.shape[1]
             for a, b in zip(ids, exact)]))
 
-    for nprobe in (16, 64, 256):
-        _, i1 = ivf.search(q1, top_k=20, nprobe=nprobe)
-        _, i64 = ivf.search(q64, top_k=20, nprobe=nprobe)
-        ms1 = round(1000 * timed(
-            lambda: ivf.search(q1, top_k=20, nprobe=nprobe)), 2)
-        ms64 = round(1000 * timed(
-            lambda: ivf.search(q64, top_k=20, nprobe=nprobe)), 2)
-        res[f"ivf_p{nprobe}"] = {
-            "b1_ms": ms1, "b64_ms": ms64,
-            "b64_qps": round(64 / (ms64 / 1000), 1),
-            "recall20_b1": round(recall(i1, ei1), 4),
-            "recall20_b64": round(recall(i64, ei64), 4),
-        }
-        print(f"nprobe={nprobe}: {res[f'ivf_p{nprobe}']}", flush=True)
+    coarse_dir = os.path.join(
+        args.workdir, f"ivf_scale_coarse_{args.n}x{args.d}_{args.nlist}")
+
+    for quant in quants:
+        qkey = f"ivf_{quant}"
+        idx_dir = os.path.join(
+            args.workdir, f"ivf_scale_idx_{quant}_{args.n}x{args.d}")
+        qres = res.get(qkey, {})
+        res[qkey] = qres
+
+        print(f"=== {quant} ===", flush=True)
+        t0 = time.perf_counter()
+        if os.path.exists(os.path.join(idx_dir, "save.done")):
+            print(f"loading cached index {idx_dir} ...", flush=True)
+            ivf = IVFIndex.load(idx_dir)
+        else:
+            cfg = IVFConfig(num_clusters=args.nlist, fine_quant=quant,
+                            kmeans_iters=6,
+                            sample_ratio=min(1.0, 1e6 / args.n),
+                            balance_factor=4.0)
+            ivf = IVFIndex.build(host_codes, cfg, verbose=True,
+                                 coarse_cache=coarse_dir)
+            qres["build_s"] = round(time.perf_counter() - t0, 1)
+            print(f"built in {qres['build_s']}s; saving to {idx_dir} ...",
+                  flush=True)
+            if os.path.exists(idx_dir):
+                shutil.rmtree(idx_dir)
+            ivf.save(idx_dir)
+            with open(os.path.join(idx_dir, "save.done"), "w") as f:
+                f.write("ok\n")
+        qres["nlist_actual"] = int(ivf.centroids.shape[0])
+        qres["cap"] = int(ivf.cap)
+        lens = np.diff(np.asarray(ivf.list_offsets))
+        qres["list_mean"] = round(float(lens.mean()), 1)
+        qres["list_max"] = int(lens.max())
+        qres["code_bytes"] = int(np.asarray(ivf.codes[:1]).dtype.itemsize
+                                 * ivf.n_real * ivf.codes.shape[1])
+        if ivf.pq_books is not None:
+            qres["code_bytes"] += int(np.asarray(ivf.pq_books).nbytes)
+            qres["refine"] = ivf.refine_codes is not None
+        qres["packed_ok"] = bool(ivf._packed_ok)
         flush()
+
+        for nprobe in (16, 64, 256):
+            pkey = f"p{nprobe}"
+            if pkey in qres and "rep_b64_ms" in qres[pkey]:
+                print(f"  {pkey}: cached {qres[pkey]}", flush=True)
+                continue
+            _, i1 = ivf.search(q1, top_k=20, nprobe=nprobe)
+            _, i64 = ivf.search(q64, top_k=20, nprobe=nprobe)
+            ms1 = round(1000 * timed(
+                lambda: ivf.search(q1, top_k=20, nprobe=nprobe)), 2)
+            ms64 = round(1000 * timed(
+                lambda: ivf.search(q64, top_k=20, nprobe=nprobe)), 2)
+            ent = {
+                "b1_ms": ms1, "b64_ms": ms64,
+                "b64_qps": round(64 / (ms64 / 1000), 1),
+                "recall20_b1": round(recall(i1, ei1), 4),
+                "recall20_b64": round(recall(i64, ei64), 4),
+                "rep_b64_ms": round(amortized_ms(
+                    lambda: ivf.bench_union_repeat(
+                        q64, top_k=20, nprobe=nprobe, reps=args.reps),
+                    args.reps, floor_ms), 2),
+            }
+            if ivf._packed_ok:
+                # grouped (fixed-cap dynamic_slice) formulation, same
+                # probes/candidates semantics modulo the union superset —
+                # the read-amplification comparison
+                ent["rep_b64_ms_grouped"] = round(amortized_ms(
+                    lambda: ivf.bench_union_repeat(
+                        q64, top_k=20, nprobe=nprobe, reps=args.reps,
+                        packed=False),
+                    args.reps, floor_ms), 2)
+            qres[pkey] = ent
+            print(f"  nprobe={nprobe}: {ent}", flush=True)
+            flush()
+
+        del ivf
+        jax.clear_caches()
 
     print(json.dumps(res))
 
