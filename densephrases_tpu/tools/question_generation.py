@@ -80,7 +80,11 @@ def hf_seq2seq_qg(model_path: str, max_questions: int = 3,
             for m in matches
         ]
         enc = tok(prompts, return_tensors="pt", padding=True,
-                  truncation=True, max_length=max_input_len).to(device)
+                  truncation=True, max_length=max_input_len)
+        # some fast tokenizers emit token_type_ids, which seq2seq
+        # generate() rejects as an unused model kwarg
+        enc.pop("token_type_ids", None)
+        enc = enc.to(device)
         with torch.no_grad():
             gen = model.generate(**enc, max_length=max_output_len,
                                  num_beams=4)
