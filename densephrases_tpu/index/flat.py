@@ -127,15 +127,38 @@ class FlatIndex:
                  shard_axis: str = "shard", chunk: int = 4096,
                  backend: str = "xla", quant: str = "int8",
                  int4_offset: Optional[float] = None,
-                 int4_scale: Optional[float] = None):
+                 int4_scale: Optional[float] = None,
+                 n_total: Optional[int] = None):
         """codes: [N, D] int8 — np array OR an already-device-resident jnp
         array. When a device array whose row count is chunk-aligned is
         passed (single-device case), it is used in place, so the MIPS serve
         path shares ONE HBM buffer between scan and rescore stages.
 
+        With a mesh, codes may also be a PREASSEMBLED global jax.Array in
+        the stacked [n_dev, n_chunks, chunk, D] layout sharded P(axis) —
+        the multi-host path (parallel/multihost.py), where each process
+        only holds its own shard and no host ever sees the full corpus.
+        ``n_total`` (the real global row count) is then required.
+
         quant='int4' re-quantizes the vectors to 4 bits and packs two codes
         per byte on device (SQ4 parity, half the HBM footprint)."""
         assert codes.dtype == np.int8 or codes.dtype == jnp.int8
+        if mesh is not None and hasattr(codes, "ndim") and codes.ndim == 4:
+            assert n_total is not None, "preassembled codes need n_total"
+            assert quant == "int8", "preassembled multi-host codes are int8"
+            n_dev_m = mesh.shape[shard_axis]
+            assert codes.shape[0] == n_dev_m and codes.shape[2] % 8 == 0
+            self.quant = quant
+            self.n_total, self.dim = int(n_total), int(codes.shape[3])
+            self.offset, self.scale = float(offset), float(scale)
+            self.mesh, self.shard_axis = mesh, shard_axis
+            self.backend = backend
+            self.chunk = int(codes.shape[2])
+            self.shard_rows = int(codes.shape[1] * codes.shape[2])
+            self.codes = codes
+            self._search_fn = self._build_search_fn()
+            self._bench_cache = {}
+            return
         self.quant = quant
         if quant == "int4":
             from densephrases_tpu.ops.quant import (
@@ -295,24 +318,55 @@ class FlatIndex:
             return np.asarray(vals), np.asarray(ids)
         return vals, ids
 
-    def bench_repeat(self, queries, top_k: int = 20, reps: int = 16):
+    def bench_repeat(self, queries, top_k: int = 20, reps: int = 16,
+                     backend: Optional[str] = None):
         """Dispatch-amortized scan timing: ``reps`` perturbed scans inside
         ONE jitted fori_loop, returning a scalar checksum (fetch it and
         divide the wall time by reps). See IVFIndex.bench_union_repeat for
-        why: high-latency links cannot resolve sub-10-ms scans per call."""
+        why: high-latency links cannot resolve sub-10-ms scans per call.
+        ``backend`` pins the scan formulation ('xla' | 'pallas' |
+        'pallas_v1'; default: this index's backend) — the apples-to-apples
+        harness for the kernel comparison. Single-device int8 only."""
+        assert self.mesh is None and self.quant == "int8"
         queries = jnp.asarray(queries, jnp.float32)
         k = min(top_k, self.n_total)
-        key = (int(queries.shape[0]), k, reps)
+        be = self.backend if backend is None else backend
+        key = (int(queries.shape[0]), k, reps, be)
         run = self._bench_cache.get(key)
         if run is None:
-            fn = self._search_fn
+            offset, scale = self.offset, self.scale
+            n_total, chunk = self.n_total, self.chunk
+            if be in ("pallas", "pallas_v1"):
+                from densephrases_tpu.ops.flat_scan_pallas import (
+                    flat_scan_topk, flat_scan_topk2)
+                interp = jax.default_backend() != "tpu"
 
+                def scan(q, codes):
+                    if be == "pallas":
+                        v, ids, _ok = flat_scan_topk2(
+                            q, codes, jnp.int32(n_total), offset, scale,
+                            top_k=k, chunk=min(chunk, 4096),
+                            interpret=interp)
+                    else:
+                        v, ids = flat_scan_topk(
+                            q, codes, jnp.int32(n_total), offset, scale,
+                            top_k=k, chunk=min(chunk, 4096),
+                            interpret=interp)
+                    return v, ids
+            else:
+                def scan(q, codes):
+                    return _scan_topk(q, codes, jnp.int32(n_total), offset,
+                                      scale, top_k=k, chunk=chunk)
+
+            # codes passed as a jit ARGUMENT: closing over a multi-GB
+            # device array captures it as an HLO constant, which remote
+            # compilers reject outright
             @jax.jit
-            def run(q):
+            def run(q, codes):
                 def body(i, acc):
-                    v, ids = fn(q + i.astype(jnp.float32) * 1e-4, k)
+                    v, ids = scan(q + i.astype(jnp.float32) * 1e-4, codes)
                     return acc + v.sum() + ids.astype(jnp.float32).sum()
                 return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
             self._bench_cache[key] = run
-        return run(queries)
+        return run(queries, self.codes)
