@@ -886,18 +886,22 @@ class IVFIndex:
         key = ("bench_union", bool(packed), top_k, nprobe, reps, b)
         run = self._search_cache.get(key)
         if run is None:
+            # every device array is a jit ARGUMENT: closing over multi-GB
+            # buffers captures them as HLO constants, which remote
+            # compilers reject outright
             interp = jax.default_backend() != "tpu"
+            cap, sq4, rotation = self.cap, self.sq4, self.rotation
             if packed:
                 u_cap = min(b * nprobe, int(self.centroids.shape[0]))
                 budget = _round_up(max(int(self._pack_table[u_cap - 1]),
                                        PACK_TPB), PACK_TPB)
+                n_real = self.n_real
 
-                def one(q):
+                def one(q, cents, loffs, codes, perm, books, refine):
                     return packed_union_scan(
-                        q, self.centroids, self.list_offsets, self.codes,
-                        self.row_perm, jnp.float32(off), jnp.float32(sc),
-                        top_k=top_k, nprobe=nprobe, cap=self.cap,
-                        budget=budget, n_real=self.n_real, sq4=self.sq4,
+                        q, cents, loffs, codes, perm, jnp.float32(off),
+                        jnp.float32(sc), top_k=top_k, nprobe=nprobe,
+                        cap=cap, budget=budget, n_real=n_real, sq4=sq4,
                         interpret=interp)
             else:
                 is_pq = self.pq_books is not None
@@ -908,28 +912,27 @@ class IVFIndex:
                 mdim = int(self.codes.shape[1])
                 row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
                               else 8 * 1024 * 1024 // max(mdim, 1))
-                group = int(np.clip(row_budget // max(self.cap, 1), 1, 64))
+                group = int(np.clip(row_budget // max(cap, 1), 1, 64))
 
-                def one(q):
-                    q_rot = (q if self.rotation is None
-                             else q @ self.rotation)
+                def one(q, cents, loffs, codes, perm, books, refine):
+                    q_rot = q if rotation is None else q @ rotation
                     return _union_scan(
-                        q, q_rot, self.centroids, self.list_offsets,
-                        self.codes, self.row_perm, self.pq_books,
-                        self.refine_codes, jnp.float32(off),
-                        jnp.float32(sc), top_k=top_k, nprobe=nprobe,
-                        cap=self.cap, group=group, scan_k=scan_k,
-                        sq4=self.sq4)
+                        q, q_rot, cents, loffs, codes, perm, books, refine,
+                        jnp.float32(off), jnp.float32(sc), top_k=top_k,
+                        nprobe=nprobe, cap=cap, group=group, scan_k=scan_k,
+                        sq4=sq4)
 
             @jax.jit
-            def run(q):
+            def run(q, cents, loffs, codes, perm, books, refine):
                 def body(i, acc):
-                    v, g = one(q + i.astype(jnp.float32) * 1e-4)
+                    v, g = one(q + i.astype(jnp.float32) * 1e-4, cents,
+                               loffs, codes, perm, books, refine)
                     return acc + v.sum() + g.astype(jnp.float32).sum()
                 return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
             self._search_cache[key] = run
-        return run(queries)
+        return run(queries, self.centroids, self.list_offsets, self.codes,
+                   self.row_perm, self.pq_books, self.refine_codes)
 
     def save(self, path: str):
         os.makedirs(path, exist_ok=True)
