@@ -57,7 +57,7 @@ def load_model(opts: Options) -> DensePhrases:
             from densephrases_tpu.index.flat import FlatIndex
 
             index = FlatIndex(np.asarray(store.vecs), store.offset,
-                              store.scale, backend=r.scan_backend)
+                              store.scale)
     mips = MIPS(store, index=index)
     truecase = TrueCaser(r.truecase_path) if (r.truecase and r.truecase_path
                                               and os.path.exists(r.truecase_path)) else None

@@ -125,7 +125,7 @@ class FlatIndex:
     def __init__(self, codes, offset: float = DEFAULT_OFFSET,
                  scale: float = DEFAULT_SCALE, mesh: Optional[Mesh] = None,
                  shard_axis: str = "shard", chunk: int = 4096,
-                 backend: str = "xla", quant: str = "int8",
+                 quant: str = "int8",
                  int4_offset: Optional[float] = None,
                  int4_scale: Optional[float] = None,
                  n_total: Optional[int] = None):
@@ -152,7 +152,6 @@ class FlatIndex:
             self.n_total, self.dim = int(n_total), int(codes.shape[3])
             self.offset, self.scale = float(offset), float(scale)
             self.mesh, self.shard_axis = mesh, shard_axis
-            self.backend = backend
             self.chunk = int(codes.shape[2])
             self.shard_rows = int(codes.shape[1] * codes.shape[2])
             self.codes = codes
@@ -178,7 +177,6 @@ class FlatIndex:
         self.scale = float(scale)
         self.mesh = mesh
         self.shard_axis = shard_axis
-        self.backend = backend  # 'xla' scan | 'pallas' fused kernel
         n_dev = mesh.shape[shard_axis] if mesh is not None else 1
         chunk = min(chunk, max(512, _round_up(self.n_total // max(n_dev, 1) or 1, 8)))
         self.chunk = chunk
@@ -218,46 +216,6 @@ class FlatIndex:
                         queries, self.codes, jnp.int32(n_total),
                         i4_off, i4_scale, top_k=top_k, chunk=chunk)
                     return vals, ids  # int32: per-device rows << 2^31
-                return search_fn
-
-            if self.backend == "pallas":
-                # two-phase selection-free kernel (flat_scan_pallas notes):
-                # phase 1 streams the corpus emitting subtile maxima only,
-                # phase 2 rescores the top-M subtiles exactly in XLA
-                from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk2
-
-                def _warn_inexact(bad):
-                    if bad:
-                        import logging
-
-                        logging.getLogger(__name__).warning(
-                            "pallas flat scan: top-k exactness certificate "
-                            "failed for some query (m_factor too small for "
-                            "this score distribution); results may be "
-                            "approximate")
-
-                def search_fn(queries, top_k: int):
-                    # chunk bounded by VMEM: 2 pipeline buffers of
-                    # [chunk, D] int8 + bf16 copies must fit in ~16MB
-                    vals, ids, ok = flat_scan_topk2(
-                        queries, self.codes, jnp.int32(n_total), offset,
-                        scale, top_k=top_k, chunk=min(chunk, 4096),
-                        interpret=(jax.default_backend() != "tpu"))
-                    # surface exactness regressions (ok is a per-query
-                    # certificate; see flat_scan_pallas notes)
-                    jax.debug.callback(_warn_inexact, ~jnp.all(ok))
-                    return vals, ids  # int32: per-device rows << 2^31
-                return search_fn
-
-            if self.backend == "pallas_v1":
-                from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk
-
-                def search_fn(queries, top_k: int):
-                    vals, ids = flat_scan_topk(
-                        queries, self.codes, jnp.int32(n_total), offset,
-                        scale, top_k=top_k, chunk=min(chunk, 4096),
-                        interpret=(jax.default_backend() != "tpu"))
-                    return vals, ids
                 return search_fn
 
             def search_fn(queries, top_k: int):
@@ -318,45 +276,24 @@ class FlatIndex:
             return np.asarray(vals), np.asarray(ids)
         return vals, ids
 
-    def bench_repeat(self, queries, top_k: int = 20, reps: int = 16,
-                     backend: Optional[str] = None):
+    def bench_repeat(self, queries, top_k: int = 20, reps: int = 16):
         """Dispatch-amortized scan timing: ``reps`` perturbed scans inside
         ONE jitted fori_loop, returning a scalar checksum (fetch it and
         divide the wall time by reps). See IVFIndex.bench_union_repeat for
         why: high-latency links cannot resolve sub-10-ms scans per call.
-        ``backend`` pins the scan formulation ('xla' | 'pallas' |
-        'pallas_v1'; default: this index's backend) — the apples-to-apples
-        harness for the kernel comparison. Single-device int8 only."""
+        Single-device int8 only."""
         assert self.mesh is None and self.quant == "int8"
         queries = jnp.asarray(queries, jnp.float32)
         k = min(top_k, self.n_total)
-        be = self.backend if backend is None else backend
-        key = (int(queries.shape[0]), k, reps, be)
+        key = (int(queries.shape[0]), k, reps)
         run = self._bench_cache.get(key)
         if run is None:
             offset, scale = self.offset, self.scale
             n_total, chunk = self.n_total, self.chunk
-            if be in ("pallas", "pallas_v1"):
-                from densephrases_tpu.ops.flat_scan_pallas import (
-                    flat_scan_topk, flat_scan_topk2)
-                interp = jax.default_backend() != "tpu"
 
-                def scan(q, codes):
-                    if be == "pallas":
-                        v, ids, _ok = flat_scan_topk2(
-                            q, codes, jnp.int32(n_total), offset, scale,
-                            top_k=k, chunk=min(chunk, 4096),
-                            interpret=interp)
-                    else:
-                        v, ids = flat_scan_topk(
-                            q, codes, jnp.int32(n_total), offset, scale,
-                            top_k=k, chunk=min(chunk, 4096),
-                            interpret=interp)
-                    return v, ids
-            else:
-                def scan(q, codes):
-                    return _scan_topk(q, codes, jnp.int32(n_total), offset,
-                                      scale, top_k=k, chunk=chunk)
+            def scan(q, codes):
+                return _scan_topk(q, codes, jnp.int32(n_total), offset,
+                                  scale, top_k=k, chunk=chunk)
 
             # codes passed as a jit ARGUMENT: closing over a multi-GB
             # device array captures it as an HLO constant, which remote

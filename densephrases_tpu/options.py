@@ -131,9 +131,6 @@ class RetrievalOptions:
     # index residency: device (HBM) | host (memmap'd store + inverted
     # lists, the OnDiskInvertedLists serving mode for corpora > HBM)
     index_tier: str = "device"
-    # flat-scan engine: xla (lax.scan) | pallas (two-phase selection-free
-    # kernel, ops/flat_scan_pallas.flat_scan_topk2)
-    scan_backend: str = "xla"
 
 
 @dataclass

@@ -185,30 +185,13 @@ def main():
     res["scan_2x%d_ms" % b] = round(1000 * t, 3)
     res["scan_gbps"] = round(args.n * dim / t / 1e9, 1)
 
-    # ---- two-phase Pallas scan (selection-free kernel + exact rescore)
-    from densephrases_tpu.ops.flat_scan_pallas import flat_scan_topk2
-
-    def scan2(q_):
-        return flat_scan_topk2(q_, flat.codes, nvalid, flat.offset,
-                               flat.scale, top_k=10, chunk=4096,
-                               interpret=jax.default_backend() != "tpu")
-    v2, i2, ok2 = scan2(q)
-    res["scan2_exact_pct"] = round(100 * float(np.asarray(ok2).mean()), 1)
-    v1, i1 = scan(q)
-    res["scan2_id_agreement"] = round(
-        float((np.asarray(i1) == np.asarray(i2)).mean()), 4)
-    t = max(synced_time(lambda: scan2(q)) - floor, 1e-6)
-    res["scan2_2x%d_ms" % b] = round(1000 * t, 3)
-    res["scan2_gbps"] = round(args.n * dim / t / 1e9, 1)
-
-    # amortized flat-scan comparison (the kernel decision record): same
-    # corpus, same queries, one fori_loop per backend
-    for be in ("xla", "pallas", "pallas_v1"):
-        ms = repeat_ms(lambda: flat.bench_repeat(q, top_k=10, reps=reps,
-                                                 backend=be), reps, floor)
-        res[f"scan_rep_{be}_ms"] = round(ms, 3)
-        res[f"scan_rep_{be}_gbps"] = round(
-            args.n * dim / (ms / 1000.0) / 1e9, 1)
+    # amortized flat scan (the Pallas flat-scan kernels were retired after
+    # losing this harness 4x to the XLA formulation — the measured decision
+    # record lives in ARCHITECTURE.md section 8)
+    ms = repeat_ms(lambda: flat.bench_repeat(q, top_k=10, reps=reps),
+                   reps, floor)
+    res["scan_rep_xla_ms"] = round(ms, 3)
+    res["scan_rep_xla_gbps"] = round(args.n * dim / (ms / 1000.0) / 1e9, 1)
 
     # ---- fused serve step (encode + scan + rescore, one dispatch)
     from densephrases_tpu.serve.fused import _fused_serve
