@@ -65,6 +65,11 @@ def main(argv=None):
 
     params, config, tokenizer = load_encoder(m.load_dir, draft=opts.draft,
                                              seed=t.seed)
+    if t.hidden_act and t.hidden_act != config.hidden_act:
+        import dataclasses
+
+        config = dataclasses.replace(config, hidden_act=t.hidden_act)
+        logger.info("training with hidden_act=%s", config.hidden_act)
     examples = load_rc_examples(d.train_file, draft=opts.draft)
     tokenizer = ensure_tokenizer(
         tokenizer, [e["context"] for e in examples[:5000]],
@@ -144,7 +149,9 @@ def main(argv=None):
     mlog = MetricsLogger(m.output_dir or None, use_wandb=t.wandb)
     step_fn = make_train_step(config, loss_cfg, optimizer, mesh=mesh,
                               remat=t.remat)
-    rng = jax.random.PRNGKey(t.seed)
+    # dropout-mask stream only (init/sampling stay threefry); rbg trades
+    # counter-based reproducibility for ~26 ms/step of threefry VPU work
+    rng = jax.random.key(t.seed, impl=t.rng_impl)
     global_step = skip_steps
     for epoch in range(int(np.ceil(t.num_train_epochs))):
         ep_skip = max(0, skip_steps - epoch * steps_per_epoch)

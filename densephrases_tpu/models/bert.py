@@ -39,6 +39,12 @@ class BertConfig:
     attention_probs_dropout_prob: float = 0.1
     initializer_range: float = 0.02
     pad_token_id: int = 0
+    # FFN activation: "gelu" = exact erf in fp32 (HF BertModel parity —
+    # required for golden-activation agreement with imported checkpoints);
+    # "gelu_tanh" = tanh approximation computed in the compute dtype, the
+    # TPU-native training choice (measured +5 MFU points at b24/L384,
+    # docs/TRAIN_ABLATE.json; max activation divergence ~3e-3).
+    hidden_act: str = "gelu"
 
     @property
     def head_dim(self) -> int:
@@ -200,7 +206,14 @@ def bert_forward(
             jnp.einsum("blh,hf->blf", attn_out, lp["ffn_in_w"].astype(compute_dtype))
             + lp["ffn_in_b"].astype(compute_dtype)
         )
-        ffn = jax.nn.gelu(ffn.astype(jnp.float32), approximate=False).astype(compute_dtype)
+        if cfg.hidden_act == "gelu_tanh":
+            # tanh approximation, no fp32 round-trip: the erf upcast is
+            # pure VPU + bandwidth cost (~20 ms/step at b24/L384)
+            ffn = jax.nn.gelu(ffn, approximate=True)
+        else:
+            ffn = jax.nn.gelu(
+                ffn.astype(jnp.float32), approximate=False
+            ).astype(compute_dtype)
         ffn = (
             jnp.einsum("blf,fh->blh", ffn, lp["ffn_out_w"].astype(compute_dtype))
             + lp["ffn_out_b"].astype(compute_dtype)

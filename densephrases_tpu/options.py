@@ -108,6 +108,15 @@ class TrainOptions:
     wandb: bool = False
     # backward-pass rematerialization: full | dots | none (models/bert.py)
     remat: str = "full"
+    # FFN activation override: "" keeps the loaded config's activation
+    # (exact erf gelu for HF-imported checkpoints); "gelu_tanh" trains
+    # with the tanh approximation (+5 MFU points, docs/TRAIN_ABLATE.json)
+    hidden_act: str = ""
+    # PRNG for dropout masks: threefry (JAX default; pure-VPU bit
+    # generation costs ~26 ms/step at b24/L384) | rbg (hardware-backed
+    # RngBitGenerator — the TPU training default; dropout masks do not
+    # need counter-based reproducibility across reshards)
+    rng_impl: str = "rbg"
 
 
 @dataclass

@@ -319,6 +319,37 @@ def main():
             res[f"train_rep_error{suffix}"] = f"{type(e).__name__}: {e}"[:160]
             jax.clear_caches()
 
+    # ---- tuned TPU-native training config: remat=dots + gelu_tanh +
+    # rbg dropout keys — the train-CLI defaults for from-scratch training
+    # (TrainOptions.hidden_act/rng_impl). The remat sweep above keeps the
+    # HF-parity activation (exact erf) and threefry keys; TRAIN_ABLATE.json
+    # attributes the individual deltas.
+    import dataclasses
+
+    cfg_tuned = dataclasses.replace(config, hidden_act="gelu_tanh")
+    step_tuned = make_train_step(
+        cfg_tuned, RCLossConfig(lambda_neg=1.0, lambda_flt=1.0), opt,
+        remat="dots")
+    key_rbg = jax.random.key(0, impl="rbg")
+    k_rep = 8
+
+    @jax.jit
+    def train_rep_tuned(st, bt_, ky):
+        def body(i, carry):
+            s_, acc = carry
+            s2, m = step_tuned(s_, bt_, jax.random.fold_in(ky, i))
+            return (s2, acc + m["loss"])
+        return jax.lax.fori_loop(0, k_rep, body, (st, jnp.float32(0)))[1]
+
+    try:
+        ms_rep = repeat_ms(lambda: train_rep_tuned(state, batch, key_rbg),
+                           k_rep, floor, n_rep=2)
+        res["train_rep_ms_tuned"] = round(ms_rep, 1)
+        res["train_rep_mfu_tuned"] = round(
+            fl_model / (ms_rep / 1000.0) / (PEAK_TFLOPS * 1e12), 4)
+    except Exception as e:
+        res["train_rep_error_tuned"] = f"{type(e).__name__}: {e}"[:160]
+
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)

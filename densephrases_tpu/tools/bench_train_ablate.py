@@ -86,14 +86,16 @@ def main():
     fl_model = 6.0 * p_enc * (bt * l + 2 * bt * lq)
     k_rep = 8
 
-    def build_step(remat, attn_impl, dropout):
+    def build_step(remat, attn_impl, dropout, cfg=None):
         """grad + adamw step, dropout optionally disabled (deterministic)."""
         import optax
+
+        cfg = cfg or config
 
         def step(st, b_, ky):
             def loss_fn(p):
                 total, aux = rc_loss(
-                    p, config, b_, loss_cfg, pre_batch=st.pre_batch,
+                    p, cfg, b_, loss_cfg, pre_batch=st.pre_batch,
                     deterministic=not dropout, dropout_rng=ky,
                     attn_impl=attn_impl, remat=remat)
                 return total, aux
@@ -142,25 +144,35 @@ def main():
         print(name, res[name], flush=True)
         jax.clear_caches()
 
-    # gelu ablation: tanh approximation traced in place of exact erf
-    import densephrases_tpu.models.bert as bert_mod
+    # landed-config variants: gelu_tanh (BertConfig.hidden_act), rbg
+    # dropout keys (TrainOptions.rng_impl), and their combination — the
+    # train-CLI tuned defaults
+    import dataclasses
 
-    real_gelu = jax.nn.gelu
-    try:
-        bert_mod.jax.nn.gelu = lambda x, approximate=False: real_gelu(
-            x, approximate=True)
-        rep = build_step(remat="dots", attn_impl="auto", dropout=True)
-        ms = repeat_ms(lambda: rep(state, batch, key), k_rep, floor, n_rep=2)
-        res["dots_dropout_pallas_gelutanh"] = {
-            "ms": round(ms, 1),
-            "mfu": round(fl_model / (ms / 1000.0) / (PEAK_TFLOPS * 1e12), 4)}
-    except Exception as e:
-        res["dots_dropout_pallas_gelutanh"] = {
-            "error": f"{type(e).__name__}: {e}"[:160]}
-    finally:
-        bert_mod.jax.nn.gelu = real_gelu
-    print("dots_dropout_pallas_gelutanh",
-          res["dots_dropout_pallas_gelutanh"], flush=True)
+    cfg_tanh = dataclasses.replace(config, hidden_act="gelu_tanh")
+    key_rbg = jax.random.key(0, impl="rbg")
+    extra = [
+        ("dots_dropout_pallas_gelutanh",
+         dict(remat="dots", attn_impl="auto", dropout=True, cfg=cfg_tanh),
+         key),
+        ("dots_dropout_pallas_rbg",
+         dict(remat="dots", attn_impl="auto", dropout=True), key_rbg),
+        ("dots_dropout_pallas_tuned",
+         dict(remat="dots", attn_impl="auto", dropout=True, cfg=cfg_tanh),
+         key_rbg),
+    ]
+    for name, kw, ky in extra:
+        try:
+            rep = build_step(**kw)
+            ms = repeat_ms(lambda: rep(state, batch, ky), k_rep, floor,
+                           n_rep=2)
+            res[name] = {"ms": round(ms, 1),
+                         "mfu": round(fl_model / (ms / 1000.0)
+                                      / (PEAK_TFLOPS * 1e12), 4)}
+        except Exception as e:
+            res[name] = {"error": f"{type(e).__name__}: {e}"[:160]}
+        print(name, res[name], flush=True)
+        jax.clear_caches()
 
     with open(args.out, "w") as f:
         json.dump(res, f, indent=1)

@@ -221,3 +221,43 @@ def test_rc_loss_with_kl_distillation(cfg):
                          attn_impl="xla")
     assert np.isfinite(float(total))
     assert "kl_loss" in aux and float(aux["kl_loss"]) >= 0
+
+
+def test_gelu_tanh_config_close_to_exact(cfg, params):
+    """hidden_act="gelu_tanh" (the TPU training default, TrainOptions)
+    must stay numerically close to the exact-erf HF-parity activation."""
+    import dataclasses
+
+    b, l = 2, 16
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, l)), jnp.int32)
+    mask = jnp.ones((b, l), jnp.int32)
+    out_erf = bert_forward(params, ids, mask, config=cfg, attn_impl="xla",
+                           compute_dtype=jnp.float32)
+    cfg_t = dataclasses.replace(cfg, hidden_act="gelu_tanh")
+    out_tanh = bert_forward(params, ids, mask, config=cfg_t, attn_impl="xla",
+                            compute_dtype=jnp.float32)
+    diff = float(jnp.max(jnp.abs(out_erf - out_tanh)))
+    assert 0 < diff < 5e-2, diff  # different path, small divergence
+
+
+def test_dropout_rbg_key_stream(cfg, params):
+    """Typed rbg dropout keys (TrainOptions.rng_impl) must drive distinct
+    dropout masks per key and keep the deterministic path unchanged."""
+    b, l = 2, 16
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, l)), jnp.int32)
+    mask = jnp.ones((b, l), jnp.int32)
+    k0 = jax.random.key(0, impl="rbg")
+    out_a = bert_forward(params, ids, mask, config=cfg, attn_impl="xla",
+                         compute_dtype=jnp.float32, deterministic=False,
+                         dropout_rng=k0)
+    out_b = bert_forward(params, ids, mask, config=cfg, attn_impl="xla",
+                         compute_dtype=jnp.float32, deterministic=False,
+                         dropout_rng=jax.random.fold_in(k0, 1))
+    assert float(jnp.max(jnp.abs(out_a - out_b))) > 1e-6
+    det1 = bert_forward(params, ids, mask, config=cfg, attn_impl="xla",
+                        compute_dtype=jnp.float32)
+    det2 = bert_forward(params, ids, mask, config=cfg, attn_impl="xla",
+                        compute_dtype=jnp.float32, dropout_rng=k0)
+    np.testing.assert_allclose(np.asarray(det1), np.asarray(det2), atol=0)
