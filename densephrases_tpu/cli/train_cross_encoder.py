@@ -48,7 +48,7 @@ def main(argv=None):
     cross_params, losses = train_cross_encoder(
         config, feats, epochs=int(t.num_train_epochs),
         batch_size=t.per_device_train_batch_size, lr=t.learning_rate,
-        seed=t.seed)
+        seed=t.seed, rng_impl=t.rng_impl)
 
     if m.output_dir:
         import json

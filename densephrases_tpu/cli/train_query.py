@@ -46,7 +46,8 @@ def main(argv=None):
     best_params, history = train_query_encoder(
         model, train_pairs, cfg,
         batch_size=opts.train.per_device_train_batch_size,
-        dev_pairs=dev_pairs, eval_top_k=r.top_k, seed=opts.train.seed)
+        dev_pairs=dev_pairs, eval_top_k=r.top_k, seed=opts.train.seed,
+        rng_impl=opts.train.rng_impl)
     logger.info("history: %s", {k: v for k, v in history.items()})
 
     if opts.model.output_dir:

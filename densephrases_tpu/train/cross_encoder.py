@@ -87,13 +87,15 @@ def make_cross_train_step(config: BertConfig, optimizer, attn_impl="auto"):
 
 def train_cross_encoder(config: BertConfig, feats, epochs: int = 2,
                         batch_size: int = 8, lr: float = 3e-5, seed: int = 0,
-                        attn_impl: str = "auto", params=None):
+                        attn_impl: str = "auto", params=None,
+                        rng_impl: str = "rbg"):
     """feats: RCFeature list built with with_teacher=True."""
     from densephrases_tpu.data.rc_dataset import batches
 
-    rng = jax.random.PRNGKey(seed)
     if params is None:
-        params = init_cross_params(rng, config)
+        params = init_cross_params(jax.random.PRNGKey(seed), config)
+    # dropout-mask stream only; init stays threefry
+    rng = jax.random.key(seed, impl=rng_impl)
     steps = max(1, epochs * (len(feats) // batch_size))
     optimizer = optax.adamw(
         optax.join_schedules(

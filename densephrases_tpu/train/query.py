@@ -198,6 +198,7 @@ def train_query_encoder(
     dev_pairs: Optional[Sequence[Tuple[str, List[str]]]] = None,
     eval_top_k: int = 10,
     seed: int = 0,
+    rng_impl: str = "rbg",
 ):
     """Driver loop (ref: train_query.py:34-179). Returns (trained query
     params, history).
@@ -230,7 +231,9 @@ def train_query_encoder(
 
     opt_state = optimizer.init(q_params)
     step_fn = make_query_train_step(config, optimizer, cfg.label_strat)
-    rng = jax.random.PRNGKey(seed)
+    # dropout-mask stream only (TrainOptions.rng_impl: rbg skips threefry
+    # VPU bit generation)
+    rng = jax.random.key(seed, impl=rng_impl)
     history = {"loss": [], "top1": [], "dev_em": []}
     best_em = -1.0
     best_q_params = q_params
