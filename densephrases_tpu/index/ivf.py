@@ -586,9 +586,32 @@ class IVFIndex:
         # Full-corpus passes ship the RAW int8 codes (4x less upload than
         # f32; L2 assignment is affine-equivariant, see ops/kmeans).
         if cfg.num_clusters >= cfg.two_level_clusters:
-            centroids, l1_cents, parent_offs = kmeans_two_level(
-                sample, cfg.num_clusters, iters=cfg.kmeans_iters,
-                seed=cfg.seed, verbose=verbose, offset=s_off, scale=s_scale)
+            # Intermediate checkpoint: the two-level k-means train is the
+            # longest single stage (~40 min at 10M); cache it separately so
+            # a TPU-worker crash during assignment/balance resumes here.
+            km_done = (os.path.join(coarse_cache, "kmeans.done")
+                       if coarse_cache is not None else None)
+            if km_done is not None and os.path.exists(km_done):
+                centroids = np.load(
+                    os.path.join(coarse_cache, "km_centroids.npy"))
+                l1_cents = np.load(os.path.join(coarse_cache, "km_l1.npy"))
+                parent_offs = np.load(
+                    os.path.join(coarse_cache, "km_offs.npy"))
+            else:
+                centroids, l1_cents, parent_offs = kmeans_two_level(
+                    sample, cfg.num_clusters, iters=cfg.kmeans_iters,
+                    seed=cfg.seed, verbose=verbose, offset=s_off,
+                    scale=s_scale)
+                if km_done is not None:
+                    os.makedirs(coarse_cache, exist_ok=True)
+                    np.save(os.path.join(coarse_cache, "km_centroids.npy"),
+                            np.asarray(centroids))
+                    np.save(os.path.join(coarse_cache, "km_l1.npy"),
+                            np.asarray(l1_cents))
+                    np.save(os.path.join(coarse_cache, "km_offs.npy"),
+                            np.asarray(parent_offs))
+                    with open(km_done, "w") as f:
+                        f.write("ok\n")
             # Full-corpus assignment: device-resident grouped-matmul path
             # when the int8 corpus fits the HBM budget (hours → minutes at
             # 10M+ rows; see ops/kmeans.assign_corpus_hier), else the

@@ -405,3 +405,27 @@ def test_kmeans_int8_matches_f32_quality():
 
     e_f, e_q = qerr(c_f, a_f), qerr(c_q, a_q)
     assert e_q < 1.05 * e_f + 1e-3, (e_q, e_f)
+
+
+def test_ivf_coarse_cache_kmeans_checkpoint_resume(tmp_path):
+    """A crash between the two-level k-means train and the coarse .done
+    marker must resume from the intermediate kmeans checkpoint and produce
+    identical search results (the coarse train is the longest build stage;
+    ref build is restartable per stage, build_phrase_index.py:341-405)."""
+    import os
+
+    x = _clustered_data(4000, 32, n_clusters=50, seed=30)
+    codes = float_to_int8(x)
+    cc = str(tmp_path / "coarse")
+    cfg = IVFConfig(num_clusters=64, fine_quant="SQ8", kmeans_iters=3,
+                    two_level_clusters=48)  # force the two-level path
+    ivf1 = IVFIndex.build(codes, cfg, coarse_cache=cc)
+    assert os.path.exists(os.path.join(cc, "kmeans.done"))
+    # simulate a crash AFTER kmeans but BEFORE the full coarse phase done
+    os.remove(os.path.join(cc, "coarse.done"))
+    os.remove(os.path.join(cc, "assign.npy"))
+    ivf2 = IVFIndex.build(codes, cfg, coarse_cache=cc)
+    queries = _clustered_data(8, 32, n_clusters=50, seed=31)
+    _, i1 = ivf1.search(queries, top_k=5, nprobe=16)
+    _, i2 = ivf2.search(queries, top_k=5, nprobe=16)
+    assert np.array_equal(np.asarray(i1), np.asarray(i2))
