@@ -16,6 +16,18 @@ Public API mirrors the reference package exports
   - ``DensePhrases``   — user-facing facade (ref: densephrases/model.py)
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Restore the documented JAX_PLATFORMS semantics: some out-of-tree TPU
+    # plugins (the axon tunnel) grab the device even when the env var says
+    # cpu. An explicit cpu request must never touch the real chip — a "CPU
+    # smoke run" silently landing on the TPU can kill a concurrent
+    # multi-hour job on it.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from densephrases_tpu.options import Options
 from densephrases_tpu.models.encoder import PhraseEncoder
 from densephrases_tpu.index.search import MIPS

@@ -497,14 +497,29 @@ class IVFIndex:
         self.int4_offset = float(int4_offset)
         self.int4_scale = float(int4_scale)
         # packed scan wants 32-row-block-addressable codes; align host-side
-        # arrays (free), leave already-uploaded device arrays alone
+        # arrays (free for in-RAM arrays), leave already-uploaded device
+        # arrays alone. A disk-backed memmap (legacy unaligned save loaded
+        # with mmap_mode="r") is NOT padded: np.concatenate would pull the
+        # whole corpus into host RAM, defeating the streamed load — those
+        # indexes fall back to the grouped scan (their rows already carry
+        # the cap padding) until re-saved.
         if (isinstance(codes, np.ndarray) and isinstance(row_perm, np.ndarray)
                 and codes.shape[0] % PACK_RB):
-            extra = (-codes.shape[0]) % PACK_RB
-            codes = np.concatenate(
-                [codes, np.zeros((extra,) + codes.shape[1:], codes.dtype)])
-            row_perm = np.concatenate(
-                [row_perm, np.zeros(extra, row_perm.dtype)])
+            if isinstance(codes, np.memmap):
+                import logging
+
+                logging.getLogger(__name__).info(
+                    "legacy unaligned codes (%d rows, block %d): packed "
+                    "scan disabled for this memmap-loaded index (grouped "
+                    "scan serves it); rebuild to enable", codes.shape[0],
+                    PACK_RB)
+            else:
+                extra = (-codes.shape[0]) % PACK_RB
+                codes = np.concatenate(
+                    [codes, np.zeros((extra,) + codes.shape[1:],
+                                     codes.dtype)])
+                row_perm = np.concatenate(
+                    [row_perm, np.zeros(extra, row_perm.dtype)])
         self.centroids = jnp.asarray(centroids, jnp.float32)  # [nlist, D]
         self.row_perm = jnp.asarray(row_perm)  # [N_pad] sorted row -> global id
         self.list_offsets = jnp.asarray(list_offsets, jnp.int32)  # [nlist+1]
@@ -677,7 +692,8 @@ class IVFIndex:
             with open(os.path.join(coarse_cache, "coarse.done"), "w") as f:
                 f.write("ok\n")
         return IVFIndex._finish_build(codes_int8, cfg, centroids, assign,
-                                      offset, scale, verbose)
+                                      offset, scale, verbose,
+                                      sample_cache=(sample, s_off, s_scale))
 
     @staticmethod
     def _train_sample(codes_int8: np.ndarray, cfg: IVFConfig, offset: float,
@@ -715,9 +731,15 @@ class IVFIndex:
     def _finish_build(codes_int8: np.ndarray, cfg: IVFConfig,
                       centroids: np.ndarray, assign: np.ndarray,
                       offset: float, scale: float,
-                      verbose: bool = False) -> "IVFIndex":
+                      verbose: bool = False,
+                      sample_cache=None) -> "IVFIndex":
         """Fine quantization + list layout, given a trained coarse quantizer
-        (the second half of build; entry point for coarse_cache hits)."""
+        (the second half of build; entry point for coarse_cache hits).
+
+        sample_cache: optional (sample, s_off, s_scale) triple from build()
+        — the memmap sample gather costs minutes at 10M rows on the slow
+        hosts this targets, so the coarse phase's sample is reused rather
+        than re-gathered for PQ/OPQ training."""
         n, d = codes_int8.shape
         # --- fine quantization. Training consumes the int8-resident sample
         # (one upload, dequant on device); the corpus encode streams int8
@@ -727,8 +749,8 @@ class IVFIndex:
         fq = cfg.fine_quant
         if fq.startswith("OPQ"):
             m = int(fq[3:])
-            sample, s_off, s_scale = IVFIndex._train_sample(
-                codes_int8, cfg, offset, scale)
+            sample, s_off, s_scale = (sample_cache or IVFIndex._train_sample(
+                codes_int8, cfg, offset, scale))
             opq = train_opq(sample, m, niter=cfg.opq_iters,
                             pq_iters=cfg.pq_iters, seed=cfg.seed,
                             verbose=verbose, offset=s_off, scale=s_scale)
@@ -738,8 +760,8 @@ class IVFIndex:
                                    scale=scale, rotation=rotation)
         elif fq.startswith("PQ"):
             m = int(fq[2:])
-            sample, s_off, s_scale = IVFIndex._train_sample(
-                codes_int8, cfg, offset, scale)
+            sample, s_off, s_scale = (sample_cache or IVFIndex._train_sample(
+                codes_int8, cfg, offset, scale))
             pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed,
                           offset=s_off, scale=s_scale)
             fine_codes = pq_encode(pq, codes_int8, offset=offset,

@@ -148,10 +148,22 @@ class MeshShardedIVF:
         is_pq = sub_indexes[0].pq is not None
         has_rot = sub_indexes[0].rotation is not None
         has_refine = sub_indexes[0].refine_codes is not None
+        # SQ4 shards store packed nibbles: the scan must unpack them and
+        # score with the INT4 affine, so the flag + affine must agree
+        # across shards (SQ8 vs SQ4 both have pq=None — the pq check alone
+        # would let a mixed stack through and score nibbles as int8)
+        self.sq4 = bool(sub_indexes[0].sq4)
+        self.int4_offset = sub_indexes[0].int4_offset
+        self.int4_scale = sub_indexes[0].int4_scale
         for sub in sub_indexes:
             assert (sub.pq is not None) == is_pq, "mixed fine_quant shards"
             assert (sub.rotation is not None) == has_rot
             assert (sub.refine_codes is not None) == has_refine
+            assert bool(sub.sq4) == self.sq4, "mixed SQ4/SQ8 shards"
+            if self.sq4:
+                assert (sub.int4_offset, sub.int4_scale) == (
+                    self.int4_offset, self.int4_scale), \
+                    "shards disagree on the int4 affine"
 
         def stack(get, pad_rows=None, pad_val=0):
             outs = []
@@ -227,14 +239,21 @@ class MeshShardedIVF:
     def _build_fn(self, top_k: int, nprobe: int, batch: int):
         from densephrases_tpu.parallel import shard_map_compat
 
-        axis, offset, scale = self.axis, self.offset, self.scale
+        axis = self.axis
+        # SQ4 codes are packed nibbles: score with the int4 affine
+        # (IVFIndex.search_union does the same, ivf.py)
+        sq4 = self.sq4
+        offset, scale = ((self.int4_offset, self.int4_scale) if sq4
+                         else (self.offset, self.scale))
         cap, cfg = self.cap, self.cfg
         shard_rows = self.shard_rows
         is_pq = self.pq_books is not None
         do_refine = is_pq and self.refine_codes is not None
         scan_k = (min(top_k * cfg.refine_factor, max(self.n_total, 1))
                   if do_refine else min(top_k, max(self.n_total, 1)))
-        use_union = batch >= cfg.prefer_union_batch
+        # the per-probe scan never learned to unpack nibbles (by design,
+        # see IVFIndex.search): SQ4 always routes through the union scan
+        use_union = sq4 or batch >= cfg.prefer_union_batch
         mdim = int(self.codes.shape[-1])
         row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
                       else 8 * 1024 * 1024 // max(mdim, 1))
@@ -254,7 +273,8 @@ class MeshShardedIVF:
                       jnp.float32(scale), nv)
             if use_union:
                 vals, ids = _union_scan(*common, top_k=top_k, nprobe=nprobe,
-                                        cap=cap, group=group, scan_k=scan_k)
+                                        cap=cap, group=group, scan_k=scan_k,
+                                        sq4=sq4)
             else:
                 vals, ids = _probe_score(*common, top_k=top_k, nprobe=nprobe,
                                          cap=cap, scan_k=scan_k)

@@ -347,21 +347,44 @@ class PhraseStore:
             return self._f2o_flat
         sidecar = (os.path.join(self.path, "f2o.int32")
                    if self.path is not None else None)
+        stamp = self._f2o_stamp()
         if sidecar and os.path.exists(sidecar):
-            arr = np.fromfile(sidecar, np.int32)
-            if arr.shape[0] == self.n_vecs:
-                self._f2o_flat = arr
-                return arr  # stale sidecars (wrong length) fall through
-        bufs = [m["f2o_start"] for m in self.metas]
-        sizes = [m.get("sizes", {}).get("f2o_start", -1) for m in self.metas]
-        if bufs and all(s >= 0 for s in sizes):
-            from densephrases_tpu import native
-
-            outs = native.decompress_batch(bufs, sizes)
+            # validate against a content stamp, not just the length: a store
+            # re-dumped in place with the same total vector count would
+            # otherwise serve a stale filtered→original map (silently wrong
+            # span masking)
+            meta_path = sidecar + ".meta"
+            ok = False
+            if os.path.exists(meta_path):
+                try:
+                    ok = json.load(open(meta_path)) == stamp
+                except Exception:
+                    ok = False
+            if ok:
+                arr = np.fromfile(sidecar, np.int32)
+                if arr.shape[0] == self.n_vecs:
+                    self._f2o_flat = arr
+                    return arr
+            # stale/unstamped sidecars fall through to a rebuild
+        if (self.num_docs > 0
+                and len(self._meta_cache) >= self.num_docs):
+            # preload_metas already inflated every doc: concatenate from the
+            # cache instead of a second zlib pass over the same buffers
+            arr = np.concatenate(
+                [np.asarray(self._meta_cache[i].f2o_start, np.int32)
+                 for i in range(self.num_docs)])
         else:
-            outs = [zlib.decompress(b) for b in bufs]
-        arr = (np.frombuffer(b"".join(outs), np.int32) if outs
-               else np.zeros(0, np.int32))
+            bufs = [m["f2o_start"] for m in self.metas]
+            sizes = [m.get("sizes", {}).get("f2o_start", -1)
+                     for m in self.metas]
+            if bufs and all(s >= 0 for s in sizes):
+                from densephrases_tpu import native
+
+                outs = native.decompress_batch(bufs, sizes)
+            else:
+                outs = [zlib.decompress(b) for b in bufs]
+            arr = (np.frombuffer(b"".join(outs), np.int32) if outs
+                   else np.zeros(0, np.int32))
         assert arr.shape[0] == self.n_vecs, (
             f"f2o length {arr.shape[0]} != n_vecs {self.n_vecs}")
         if sidecar:
@@ -369,10 +392,33 @@ class PhraseStore:
                 tmp = sidecar + ".tmp"
                 arr.tofile(tmp)
                 os.replace(tmp, sidecar)
+                with open(sidecar + ".meta.tmp", "w") as f:
+                    json.dump(stamp, f)
+                os.replace(sidecar + ".meta.tmp", sidecar + ".meta")
             except OSError:  # read-only store dir: cache in RAM only
                 pass
         self._f2o_flat = arr
         return arr
+
+    def _f2o_stamp(self) -> dict:
+        """Content stamp for the f2o sidecar: n_vecs + the compressed
+        metadata file's size and a cheap head/tail crc — catches in-place
+        re-dumps that happen to preserve the total vector count."""
+        stamp = {"n_vecs": int(self.n_vecs)}
+        if self.path is not None:
+            mp = os.path.join(self.path, "meta.pkls")
+            if os.path.exists(mp):
+                stamp["meta_size"] = os.path.getsize(mp)
+                with open(mp, "rb") as f:
+                    head = f.read(65536)
+                    try:
+                        f.seek(-65536, os.SEEK_END)
+                    except OSError:
+                        f.seek(0)
+                    tail = f.read(65536)
+                stamp["meta_crc"] = int(
+                    zlib.crc32(tail, zlib.crc32(head)))
+        return stamp
 
     def global_to_doc(self, gids: np.ndarray):
         """Map global vec ids → (doc position, local vec position).

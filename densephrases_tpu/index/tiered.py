@@ -173,9 +173,9 @@ class TieredFlatIndex:
         return np.asarray(self._overflow[np.clip(gids, 0, self.n_total - 1)])
 
 
-@functools.partial(jax.jit, static_argnames=("top_k",))
+@functools.partial(jax.jit, static_argnames=("top_k", "sq4"))
 def _score_union_block(qbf, qsum, block, row_list, member, scale,
-                       *, top_k: int):
+                       *, top_k: int, sq4: bool = False):
     """Score one streamed union block of inverted-list rows for the whole
     batch, masked per query to the lists that query probed.
 
@@ -185,6 +185,11 @@ def _score_union_block(qbf, qsum, block, row_list, member, scale,
     over all nlist lists — at reference scale nlist reaches 2^20 and a
     dense [B, nlist] bitmap would dominate the upload this path exists to
     avoid)."""
+    if sq4:
+        # packed nibbles (ops/quant.float_to_int4): high nibble = first
+        # half of the feature dim; scale/qsum carry the INT4 affine
+        v = block.astype(jnp.int32) & 0xFF
+        block = jnp.concatenate([v >> 4, v & 0xF], axis=-1)
     s = jax.lax.dot_general(
         qbf, block.astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
@@ -214,18 +219,29 @@ class TieredIVF:
     One small device→host sync per batch (the probe ids) is inherent to
     host-side IO — the reference pays the same to read its mmap'd lists.
 
-    SQ8 lists only (the beyond-HBM regime wants the refine-free path;
-    PQ fits HBM at these scales anyway: 96 B/vec ≈ 10x smaller)."""
+    Raw-code lists only — SQ8, or SQ4 packed nibbles (scored with the INT4
+    affine; ref QT_4bit, build_phrase_index.py:103-105). PQ is rejected:
+    the beyond-HBM regime wants the refine-free path, and PQ fits HBM at
+    these scales anyway (96 B/vec ≈ 10x smaller)."""
 
     def __init__(self, centroids, list_offsets, codes_sorted, row_perm,
                  offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
-                 block_rows: int = 1 << 18):
+                 block_rows: int = 1 << 18, sq4: bool = False,
+                 int4_offset: float = None, int4_scale: float = None):
+        from densephrases_tpu.ops.quant import INT4_OFFSET, INT4_SCALE
+
         self.centroids = jax.device_put(jnp.asarray(centroids, jnp.float32))
         self.list_offsets = np.asarray(list_offsets)  # host: drives the IO
-        self._codes = codes_sorted  # host memmap [N_pad, D] int8
+        self._codes = codes_sorted  # host memmap [N_pad, D] int8 (or packed
+        # nibbles [N_pad, D/2] when sq4 — scored with the INT4 affine)
         self._row_perm = np.asarray(row_perm)
         self.offset = float(offset)
         self.scale = float(scale)
+        self.sq4 = bool(sq4)
+        self.int4_offset = float(INT4_OFFSET if int4_offset is None
+                                 else int4_offset)
+        self.int4_scale = float(INT4_SCALE if int4_scale is None
+                                else int4_scale)
         self.block_rows = int(block_rows)
         self.nlist = int(self.list_offsets.shape[0] - 1)
         self.n_total = int(self.list_offsets[-1])
@@ -243,7 +259,9 @@ class TieredIVF:
 
         with open(os.path.join(path, "ivf.pkl"), "rb") as f:
             extra = pickle.load(f)
-        assert extra["pq"] is None, "TieredIVF serves SQ8 lists (see doc)"
+        assert extra["pq"] is None, \
+            "TieredIVF serves raw-code (SQ8/SQ4) lists, not PQ (see doc)"
+        sq4 = getattr(extra["cfg"], "fine_quant", "SQ8") == "SQ4"
         codes = np.load(os.path.join(path, "codes.npy"), mmap_mode="r")
         return TieredIVF(
             np.load(os.path.join(path, "centroids.npy")),
@@ -251,19 +269,26 @@ class TieredIVF:
             codes,
             np.load(os.path.join(path, "row_perm.npy")),
             offset=extra["offset"], scale=extra["scale"],
-            block_rows=block_rows)
+            block_rows=block_rows, sq4=sq4,
+            int4_offset=extra.get("int4_offset"),
+            int4_scale=extra.get("int4_scale"))
 
     @staticmethod
     def from_index(ivf, block_rows: int = 1 << 18) -> "TieredIVF":
         """Wrap an in-memory IVFIndex (host copies of its arrays)."""
+        assert ivf.pq is None, \
+            "TieredIVF serves raw-code (SQ8/SQ4) lists, not PQ (see doc)"
         return TieredIVF(np.asarray(ivf.centroids),
                          np.asarray(ivf.list_offsets),
                          np.asarray(ivf.codes), np.asarray(ivf.row_perm),
                          offset=ivf.offset, scale=ivf.scale,
-                         block_rows=block_rows)
+                         block_rows=block_rows, sq4=ivf.sq4,
+                         int4_offset=ivf.int4_offset,
+                         int4_scale=ivf.int4_scale)
 
     def gather_rows_host(self, gids: np.ndarray) -> np.ndarray:
-        """int8 rows for ORIGINAL global ids (MIPS tiered-rescore hook)."""
+        """int8 rows in the STORE affine for ORIGINAL global ids (MIPS
+        tiered-rescore hook)."""
         gids = np.clip(gids, 0, self.n_total - 1)
         if self.store_vecs is not None:
             return np.asarray(self.store_vecs[gids])
@@ -271,7 +296,17 @@ class TieredIVF:
             inv = np.empty(self.n_total, np.int64)
             inv[self._row_perm[:self.n_total]] = np.arange(self.n_total)
             self._inv_perm = inv
-        return np.asarray(self._codes[self._inv_perm[gids]])
+        rows = np.asarray(self._codes[self._inv_perm[gids]])
+        if self.sq4:
+            # the rescore contract is int8 in the store affine: unpack the
+            # nibbles and re-express the int4 codes as int8 codes (a tiny
+            # B*K gather — host math is fine)
+            v = rows.astype(np.int32) & 0xFF
+            i4 = np.concatenate([v >> 4, v & 0xF], axis=-1)
+            f = i4.astype(np.float32) / self.int4_scale + self.int4_offset
+            rows = np.clip(np.round((f - self.offset) * self.scale),
+                           -128, 127).astype(np.int8)
+        return rows
 
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
                as_numpy: bool = True):
@@ -301,7 +336,9 @@ class TieredIVF:
         member[np.arange(b)[:, None], np.searchsorted(uniq, probe_np)] = 1
         member_dev = jax.device_put(member)
 
-        qsum = queries.sum(-1) * self.offset
+        off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
+                   else (self.offset, self.scale))
+        qsum = queries.sum(-1) * off
         qbf = queries.astype(jnp.bfloat16)
         br = self.block_rows
         cand_vals, cand_ids = [], []
@@ -318,7 +355,7 @@ class TieredIVF:
             vals, ids = _score_union_block(
                 qbf, qsum, jax.device_put(blk.copy()),
                 jax.device_put(blk_list.copy()), member_dev,
-                jnp.float32(self.scale), top_k=min(k, br))
+                jnp.float32(sc), top_k=min(k, br), sq4=self.sq4)
             rows = blk_rows.copy()
             cand_vals.append(np.asarray(vals))
             cand_ids.append(rows[np.clip(np.asarray(ids), 0, br - 1)])

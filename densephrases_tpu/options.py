@@ -112,10 +112,12 @@ class TrainOptions:
     # (exact erf gelu for HF-imported checkpoints); "gelu_tanh" trains
     # with the tanh approximation (+5 MFU points, docs/TRAIN_ABLATE.json)
     hidden_act: str = ""
-    # PRNG for dropout masks: threefry (JAX default; pure-VPU bit
-    # generation costs ~26 ms/step at b24/L384) | rbg (hardware-backed
-    # RngBitGenerator — the TPU training default; dropout masks do not
-    # need counter-based reproducibility across reshards)
+    # PRNG for dropout masks: "threefry" (the JAX default threefry2x32;
+    # pure-VPU bit generation costs ~26 ms/step at b24/L384) | "rbg"
+    # (hardware-backed RngBitGenerator — the TPU training default; dropout
+    # masks do not need counter-based reproducibility across reshards).
+    # Normalized by _sanity_check: jax.random.key only accepts the full
+    # name "threefry2x32".
     rng_impl: str = "rbg"
 
 
@@ -221,6 +223,13 @@ class Options:
         assert self.model.max_answer_length >= 1
         assert self.index.fine_quant in ("none", "SQ8", "SQ4", "OPQ96", "PQ96"), (
             f"unknown fine_quant {self.index.fine_quant}"
+        )
+        # jax.random.key's spelling of the default PRNG is "threefry2x32";
+        # accept the documented short form here so --rng_impl threefry works
+        if self.train.rng_impl == "threefry":
+            self.train.rng_impl = "threefry2x32"
+        assert self.train.rng_impl in ("rbg", "threefry2x32", "unsafe_rbg"), (
+            f"unknown rng_impl {self.train.rng_impl}"
         )
         if self.draft:
             self.train.logging_steps = 999999999

@@ -212,13 +212,16 @@ def main():
     res["fused_b%d_ms" % b] = round(1000 * t, 3)
     res["fused_qps_device"] = round(b / t, 1)
 
-    # amortized fused step (bf16-resident weights = serve configuration)
+    # amortized fused step (bf16-resident weights = serve configuration).
+    # EVERY corpus-sized array (codes AND f2o/doc_end/doc_base) is a jit
+    # argument — see the NOTE above on closure-captured HLO constants
     @jax.jit
-    def fused_rep(p, i, codes):
+    def fused_rep(p, i, codes, f2o_, doc_end_, doc_base_):
         def body(it, acc):
             out = _fused_serve(
-                p, jnp.roll(i, it, axis=0), mask, tts, codes, f2o, doc_end,
-                doc_base, jnp.float32(flat.offset), jnp.float32(flat.scale),
+                p, jnp.roll(i, it, axis=0), mask, tts, codes, f2o_,
+                doc_end_, doc_base_, jnp.float32(flat.offset),
+                jnp.float32(flat.scale),
                 jnp.int32(args.n), config=config, top_k=10,
                 max_answer_length=10, chunk=flat.chunk, attn_impl="auto")
             res_, _s, _e = out
@@ -226,7 +229,8 @@ def main():
             return acc + leaf.sum().astype(jnp.float32)
         return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    ms = repeat_ms(lambda: fused_rep(params_bf16, ids, flat.codes),
+    ms = repeat_ms(lambda: fused_rep(params_bf16, ids, flat.codes,
+                                     f2o, doc_end, doc_base),
                    reps, floor)
     res["fused_rep_b%d_ms" % b] = round(ms, 3)
     res["fused_rep_qps_device"] = round(b / (ms / 1000.0), 1)

@@ -95,6 +95,8 @@ def train_cross_encoder(config: BertConfig, feats, epochs: int = 2,
     if params is None:
         params = init_cross_params(jax.random.PRNGKey(seed), config)
     # dropout-mask stream only; init stays threefry
+    if rng_impl == "threefry":  # jax spells it threefry2x32
+        rng_impl = "threefry2x32"
     rng = jax.random.key(seed, impl=rng_impl)
     steps = max(1, epochs * (len(feats) // batch_size))
     optimizer = optax.adamw(

@@ -233,6 +233,8 @@ def train_query_encoder(
     step_fn = make_query_train_step(config, optimizer, cfg.label_strat)
     # dropout-mask stream only (TrainOptions.rng_impl: rbg skips threefry
     # VPU bit generation)
+    if rng_impl == "threefry":  # jax spells it threefry2x32
+        rng_impl = "threefry2x32"
     rng = jax.random.key(seed, impl=rng_impl)
     history = {"loss": [], "top1": [], "dev_em": []}
     best_em = -1.0

@@ -220,7 +220,7 @@ def test_sharded_ivf_matches_single(tmp_path):
 
 
 @pytest.mark.parametrize("fine_quant,batch", [
-    ("SQ8", 2), ("SQ8", 8), ("OPQ8", 8),
+    ("SQ8", 2), ("SQ8", 8), ("OPQ8", 8), ("SQ4", 8), ("SQ4", 2),
 ])
 def test_mesh_sharded_ivf_collective(fine_quant, batch):
     """The one-dispatch mesh collective must match the host-merged ShardedIVF
@@ -429,3 +429,39 @@ def test_ivf_coarse_cache_kmeans_checkpoint_resume(tmp_path):
     _, i1 = ivf1.search(queries, top_k=5, nprobe=16)
     _, i2 = ivf2.search(queries, top_k=5, nprobe=16)
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
+
+
+def test_ivf_legacy_unaligned_memmap_load(tmp_path):
+    """A memmap-loaded index whose code rows are not 32-block-aligned
+    (legacy save) must NOT be materialized in host RAM for realignment:
+    the packed scan is disabled and the grouped scan serves it exactly."""
+    import os
+
+    x = _clustered_data(3000, 32, seed=40)
+    codes = float_to_int8(x)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=32, fine_quant="SQ8",
+                                          kmeans_iters=3))
+    offs = np.asarray(ivf.list_offsets)
+    # legacy layout: cap padding only, no 32-row block alignment
+    n_legacy = int(offs[-1]) + ivf.cap
+    if n_legacy % 32 == 0:
+        n_legacy += 8  # still safe: extra zero rows beyond every slice
+    legacy_codes = np.zeros((n_legacy, 32), np.int8)
+    legacy_perm = np.zeros(n_legacy, np.int64)
+    m = min(n_legacy, int(np.asarray(ivf.codes).shape[0]))
+    legacy_codes[:m] = np.asarray(ivf.codes)[:m]
+    legacy_perm[:m] = np.asarray(ivf.row_perm)[:m]
+    np.save(str(tmp_path / "codes.npy"), legacy_codes)
+    mm = np.load(str(tmp_path / "codes.npy"), mmap_mode="r")
+    assert isinstance(mm, np.memmap) and mm.shape[0] % 32 != 0
+
+    ivf2 = IVFIndex(ivf.cfg, np.asarray(ivf.centroids), legacy_perm,
+                    offs, mm, offset=ivf.offset, scale=ivf.scale,
+                    n_total=ivf.n_total)
+    assert not ivf2._packed_ok  # grouped scan path
+    q = _clustered_data(6, 32, seed=41)
+    v1, i1 = ivf.search(q, top_k=8, nprobe=8)
+    v2, i2 = ivf2.search(q, top_k=8, nprobe=8)
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 8
+                       for a, b in zip(i1, i2)])
+    assert overlap >= 0.95, overlap

@@ -247,3 +247,46 @@ def test_store_legacy_meta_pkl_upgrade(tmp_path):
     for i in range(3):
         np.testing.assert_array_equal(reloaded.vec_rows(i), store.vec_rows(i))
         assert reloaded.meta(i).context == store.meta(i).context
+
+
+def test_f2o_sidecar_invalidated_by_content_change(tmp_path):
+    """An in-place re-dump with the SAME total vector count must not serve
+    the previous dump's f2o sidecar (content stamp, not length check)."""
+    store, _ = _make_store(tmp_path, seed=0)
+    f2o_a = store.f2o_flat().copy()
+    import os
+    assert os.path.exists(os.path.join(store.path, "f2o.int32"))
+
+    # re-dump the same doc/vec layout but with a DIFFERENT f2o mapping
+    import shutil
+    shutil.rmtree(str(tmp_path / "store"))
+    rng = np.random.default_rng(0)  # same seed: same per-doc vec counts
+    writer = StoreWriter(str(tmp_path / "store"), 64)
+    for d in range(5):
+        n_vecs = int(rng.integers(3, 12))
+        vecs = rng.normal(-2, 1.0, (n_vecs, 64)).astype(np.float32)
+        writer.add_doc(
+            DocMeta(doc_id=d, title=f"other{d}",
+                    context=" ".join(["x"] * (n_vecs + 5)),
+                    word2char_start=np.arange(n_vecs, dtype=np.int32) * 2,
+                    word2char_end=np.arange(n_vecs, dtype=np.int32) * 2 + 1,
+                    f2o_start=np.arange(n_vecs, dtype=np.int32) + 3),
+            float_to_int8(vecs))
+    store2 = writer.finalize()
+    assert store2.n_vecs == store.n_vecs  # the stale-sidecar trap
+    f2o_b = store2.f2o_flat()
+    assert not np.array_equal(f2o_a, f2o_b), "stale sidecar served"
+
+
+def test_f2o_flat_uses_preloaded_meta_cache(tmp_path):
+    """With every doc already inflated by preload_metas, f2o_flat must not
+    re-decompress: it concatenates from the cache (same result)."""
+    store, _ = _make_store(tmp_path, seed=1)
+    want = store.f2o_flat().copy()
+
+    store2 = PhraseStore.load(store.path)
+    import os
+    os.remove(os.path.join(store.path, "f2o.int32"))  # force a rebuild
+    store2.preload_metas()
+    got = store2.f2o_flat()
+    np.testing.assert_array_equal(got, want)

@@ -96,9 +96,11 @@ def test_tiered_mips_two_stage_matches_resident(tmp_path):
             assert abs(r_a["score"] - r_b["score"]) < 0.2
 
 
-def test_tiered_ivf_matches_device_ivf(tmp_path):
+@pytest.mark.parametrize("fine_quant", ["SQ8", "SQ4"])
+def test_tiered_ivf_matches_device_ivf(tmp_path, fine_quant):
     """Host-tier (memmap) IVF must return the same candidates as the fully
-    device-resident IVF: same probed lists, same math."""
+    device-resident IVF: same probed lists, same math — for both raw-code
+    list formats (SQ8 int8 and SQ4 packed nibbles)."""
     from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
     from densephrases_tpu.index.tiered import TieredIVF
 
@@ -106,7 +108,8 @@ def test_tiered_ivf_matches_device_ivf(tmp_path):
     rng = np.random.default_rng(12)
     queries = rng.normal(-2, 1, (6, 64)).astype(np.float32)
 
-    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64, fine_quant="SQ8",
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64,
+                                          fine_quant=fine_quant,
                                           kmeans_iters=4))
     # pin the grouped (per-query-masked) formulation: the tiered host scan
     # implements FAISS-parity masking, while the packed scan deliberately
