@@ -149,6 +149,23 @@ def amortized_ms(run_fn, reps: int, floor_ms: float, n_rep: int = 3) -> float:
     return max(1000.0 * float(np.median(ts)) - floor_ms, 0.0) / reps
 
 
+def _default_workdir() -> str:
+    """Repo-local cache dir when writable (survives this environment's
+    per-session /tmp wipes), else /tmp."""
+    repo_cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "cache")
+    repo_cache = os.path.normpath(repo_cache)
+    try:
+        os.makedirs(repo_cache, exist_ok=True)
+        probe = os.path.join(repo_cache, ".write_probe")
+        with open(probe, "w") as f:
+            f.write("ok")
+        os.remove(probe)
+        return repo_cache
+    except OSError:
+        return "/tmp"
+
+
 def main():
     import logging
 
@@ -167,9 +184,11 @@ def main():
                     help="fori-loop repeats for amortized timings")
     ap.add_argument("--cache", default=None,
                     help="corpus memmap cache path (.npy); default "
-                         "/tmp/ivf_scale_corpus_{n}x{d}.npy")
-    ap.add_argument("--workdir", default="/tmp",
-                    help="where coarse/index caches live")
+                         "{workdir}/ivf_scale_corpus_{n}x{d}.npy")
+    ap.add_argument("--workdir", default=_default_workdir(),
+                    help="where corpus/coarse/index caches live; defaults "
+                         "to <repo>/cache (survives VM resets, gitignored) "
+                         "when the repo tree is writable, else /tmp")
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing output JSON (still reuses "
                          "corpus/coarse/index caches)")
@@ -183,7 +202,8 @@ def main():
     from densephrases_tpu.index.flat import FlatIndex
     from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
 
-    cache = args.cache or f"/tmp/ivf_scale_corpus_{args.n}x{args.d}.npy"
+    cache = args.cache or os.path.join(
+        args.workdir, f"ivf_scale_corpus_{args.n}x{args.d}.npy")
     out_path = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out_path), exist_ok=True)
     res = {}
