@@ -209,6 +209,12 @@ def main():
                 lambda: fused.search_pipelined(
                     [queries] * n_batches, depth=2, top_k=top_k,
                     aggregate=True), 5)
+            # deeper pipelining hides more of the dispatch round trip when
+            # the async queue cooperates; the headline takes the best mode
+            elapsed_pipe4, pipe4_windows = _measure_windows(
+                lambda: fused.search_pipelined(
+                    [queries] * n_batches, depth=4, top_k=top_k,
+                    aggregate=True), 5)
 
         # measured CPU baseline over the same corpus (see cpu_mips_qps)
         baseline_qps = cpu_mips_qps(
@@ -217,9 +223,11 @@ def main():
 
     qps_sync = n_batches * batch / elapsed_sync
     qps_pipe = n_batches * batch / elapsed_pipe
+    qps_pipe4 = n_batches * batch / elapsed_pipe4
     # auto-fallback: on some tunnel states multiple in-flight dispatches
-    # serialize pathologically — the headline takes the better mode
-    qps, mode = max((qps_sync, "sync"), (qps_pipe, "pipelined"))
+    # serialize pathologically — the headline takes the best mode
+    qps, mode = max((qps_sync, "sync"), (qps_pipe, "pipelined"),
+                    (qps_pipe4, "pipelined4"))
     print(json.dumps({
         "metric": "queries_per_sec_batch64_e2e",
         "value": round(qps, 2),
@@ -229,6 +237,7 @@ def main():
         "mode": mode,
         "value_sync": round(qps_sync, 2),
         "value_pipelined": round(qps_pipe, 2),
+        "value_pipelined4": round(qps_pipe4, 2),
         "stages_ms": {
             "dispatch_floor": round(floor_ms, 2),
             "encode_b64": round(encode_ms, 2),
@@ -240,6 +249,7 @@ def main():
         "windows_s": {
             "sync": [round(t, 3) for t in sync_windows],
             "pipelined": [round(t, 3) for t in pipe_windows],
+            "pipelined4": [round(t, 3) for t in pipe4_windows],
         },
     }))
 
