@@ -98,7 +98,17 @@ def main():
     ap.add_argument("--tiny", action="store_true",
                     help="tiny encoder + small shapes: CPU smoke test of "
                          "the harness itself, not a measurement")
+    ap.add_argument("--only", default=None,
+                    help="comma subset of {encode,scan,fused,train,tuned}: "
+                         "re-measure just those sections, merging into an "
+                         "existing --out JSON (tunnel time is scarce; a "
+                         "config change shouldn't force a full re-run)")
     args = ap.parse_args()
+    sections = (set(args.only.split(",")) if args.only
+                else {"encode", "scan", "fused", "train", "tuned"})
+
+    def want(s):
+        return s in sections
 
     import jax
     import jax.numpy as jnp
@@ -112,8 +122,12 @@ def main():
     )
     from densephrases_tpu.ops.quant import float_to_int8
 
-    res = {"backend": jax.default_backend(), "n": args.n,
-           "batch": args.batch, "peak_tflops": PEAK_TFLOPS}
+    res = {}
+    if args.only and os.path.exists(args.out):
+        with open(args.out) as f:
+            res = json.load(f)
+    res.update({"backend": jax.default_backend(), "n": args.n,
+                "batch": args.batch, "peak_tflops": PEAK_TFLOPS})
     res["roundtrip_floor_ms"] = round(1000 * roundtrip_floor(), 2)
     floor = res["roundtrip_floor_ms"] / 1000.0
     config = BertConfig.tiny(vocab_size=1000) if args.tiny else BertConfig()
@@ -122,124 +136,143 @@ def main():
     rng = np.random.default_rng(0)
     b, lq = args.batch, 32
 
-    # ---- query encoding (both towers, stacked)
+    # shared inputs (cheap; used by encode/fused sections)
     ids = jnp.asarray(rng.integers(5, 1000, (b, lq)), jnp.int32)
     mask = jnp.ones((b, lq), jnp.int32)
-    enc = jax.jit(lambda p, i, m: embed_query(p, config, i, m,
-                                              deterministic=True))
-    t = max(synced_time(lambda: enc(params, ids, mask)) - floor, 1e-6)
-    fl = xla_flops(enc, params, ids, mask)
-    res["encode_b%d_ms" % b] = round(1000 * t, 3)
-    res["encode_mfu"] = round(fl / t / (PEAK_TFLOPS * 1e12), 4) if fl else None
-
-    # analytic encode flops: 2 towers, fwd-only, 6 GEMMs/layer
-    p_enc_fwd = 12 * (4 * config.hidden_size ** 2 +
-                      2 * config.hidden_size * config.intermediate_size)
-    enc_flops = 2.0 * p_enc_fwd * (2 * b * lq)
     reps = 20
-
-    # amortized: per-call value-fetch timing is RTT-noise-bounded below
-    # ~10 ms; a fori_loop amortizes one round trip over `reps` iterations.
     # bf16-resident weights = the serving configuration (serve_dtype).
     params_bf16 = jax.tree.map(
         lambda a: a.astype(jnp.bfloat16)
         if a.dtype == jnp.float32 else a, params)
+    # analytic encode flops: 2 towers, fwd-only, 6 GEMMs/layer
+    p_enc_fwd = 12 * (4 * config.hidden_size ** 2 +
+                      2 * config.hidden_size * config.intermediate_size)
+    enc_flops = 2.0 * p_enc_fwd * (2 * b * lq)
 
-    @jax.jit
-    def enc_rep(p, i, m):
-        def body(it, acc):
-            qs, _qe = embed_query(p, config, jnp.roll(i, it, axis=0), m,
-                                  deterministic=True)
-            return acc + qs.sum().astype(jnp.float32)
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+    # ---- query encoding (both towers, stacked)
+    if want("encode"):
+        enc = jax.jit(lambda p, i, m: embed_query(p, config, i, m,
+                                                  deterministic=True))
+        t = max(synced_time(lambda: enc(params, ids, mask)) - floor, 1e-6)
+        fl = xla_flops(enc, params, ids, mask)
+        res["encode_b%d_ms" % b] = round(1000 * t, 3)
+        res["encode_mfu"] = (round(fl / t / (PEAK_TFLOPS * 1e12), 4)
+                             if fl else None)
 
-    res["encode_rep_b%d_ms" % b] = round(repeat_ms(
-        lambda: enc_rep(params, ids, mask), reps, floor), 3)
-    res["encode_rep_bf16_b%d_ms" % b] = round(repeat_ms(
-        lambda: enc_rep(params_bf16, ids, mask), reps, floor), 3)
-    t_rep = res["encode_rep_bf16_b%d_ms" % b] / 1000.0
-    res["encode_rep_mfu"] = round(enc_flops / t_rep / (PEAK_TFLOPS * 1e12), 4)
+        # amortized: per-call value-fetch timing is RTT-noise-bounded below
+        # ~10 ms; a fori_loop amortizes one round trip over `reps` iters.
+        @jax.jit
+        def enc_rep(p, i, m):
+            def body(it, acc):
+                qs, _qe = embed_query(p, config, jnp.roll(i, it, axis=0), m,
+                                      deterministic=True)
+                return acc + qs.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        res["encode_rep_b%d_ms" % b] = round(repeat_ms(
+            lambda: enc_rep(params, ids, mask), reps, floor), 3)
+        res["encode_rep_bf16_b%d_ms" % b] = round(repeat_ms(
+            lambda: enc_rep(params_bf16, ids, mask), reps, floor), 3)
+        t_rep = res["encode_rep_bf16_b%d_ms" % b] / 1000.0
+        res["encode_rep_mfu"] = round(
+            enc_flops / t_rep / (PEAK_TFLOPS * 1e12), 4)
 
     # ---- stage-1 flat scan over n x 768 int8
     # corpus generated ON DEVICE (host-side numpy normal() takes minutes on
     # this VM's single slow core) and chunk-aligned so FlatIndex uses the
     # device buffer in place
-    n_pad = ((args.n + 65535) // 65536) * 65536
-    codes = float_to_int8(
-        jax.random.normal(jax.random.PRNGKey(7), (n_pad, dim), jnp.float32)
-        - 2.0)
-    args.n = n_pad
-    res["n"] = n_pad
-    flat = FlatIndex(codes, chunk=65536)
-    q = jnp.asarray(rng.normal(size=(2 * b, dim)), jnp.float32)
-    # NOTE: codes must be an explicit ARGUMENT — a jit closing over the
-    # device corpus embeds it as an HLO constant, and the serialized
-    # program blows the remote-compile transport (HTTP 413 on this tunnel)
-    nvalid = jnp.int32(args.n)
+    flat = None
+    if want("scan") or want("fused"):
+        n_pad = ((args.n + 65535) // 65536) * 65536
+        codes = float_to_int8(
+            jax.random.normal(jax.random.PRNGKey(7), (n_pad, dim),
+                              jnp.float32) - 2.0)
+        args.n = n_pad
+        res["n"] = n_pad
+        flat = FlatIndex(codes, chunk=65536)
+        q = jnp.asarray(rng.normal(size=(2 * b, dim)), jnp.float32)
+        # NOTE: codes must be an explicit ARGUMENT — a jit closing over the
+        # device corpus embeds it as an HLO constant, and the serialized
+        # program blows the remote-compile transport (HTTP 413)
+        nvalid = jnp.int32(args.n)
 
-    def scan(q_):
-        return _scan_topk(q_, flat.codes, nvalid, flat.offset, flat.scale,
-                          top_k=10, chunk=flat.chunk)
+    if want("scan"):
+        def scan(q_):
+            return _scan_topk(q_, flat.codes, nvalid, flat.offset,
+                              flat.scale, top_k=10, chunk=flat.chunk)
 
-    t = max(synced_time(lambda: scan(q)) - floor, 1e-6)
-    res["scan_2x%d_ms" % b] = round(1000 * t, 3)
-    res["scan_gbps"] = round(args.n * dim / t / 1e9, 1)
+        t = max(synced_time(lambda: scan(q)) - floor, 1e-6)
+        res["scan_2x%d_ms" % b] = round(1000 * t, 3)
+        res["scan_gbps"] = round(args.n * dim / t / 1e9, 1)
 
-    # amortized flat scan (the Pallas flat-scan kernels were retired after
-    # losing this harness 4x to the XLA formulation — the measured decision
-    # record lives in ARCHITECTURE.md section 8)
-    ms = repeat_ms(lambda: flat.bench_repeat(q, top_k=10, reps=reps),
-                   reps, floor)
-    res["scan_rep_xla_ms"] = round(ms, 3)
-    res["scan_rep_xla_gbps"] = round(args.n * dim / (ms / 1000.0) / 1e9, 1)
+        # amortized flat scan (the Pallas flat-scan kernels were retired
+        # after losing this harness 4x to the XLA formulation — the
+        # measured decision record lives in ARCHITECTURE.md section 8)
+        ms = repeat_ms(lambda: flat.bench_repeat(q, top_k=10, reps=reps),
+                       reps, floor)
+        res["scan_rep_xla_ms"] = round(ms, 3)
+        res["scan_rep_xla_gbps"] = round(
+            args.n * dim / (ms / 1000.0) / 1e9, 1)
 
     # ---- fused serve step (encode + scan + rescore, one dispatch)
-    from densephrases_tpu.serve.fused import _fused_serve
+    if want("fused"):
+        from densephrases_tpu.serve.fused import _fused_serve
 
-    f2o = jnp.asarray(np.arange(args.n) % 100, jnp.int32)
-    doc_end = jnp.asarray((np.arange(args.n) // 100 + 1) * 100, jnp.int32)
-    doc_base = jnp.asarray((np.arange(args.n) // 100) * 100, jnp.int32)
-    tts = jnp.zeros((b, lq), jnp.int32)
+        f2o = jnp.asarray(np.arange(args.n) % 100, jnp.int32)
+        doc_end = jnp.asarray((np.arange(args.n) // 100 + 1) * 100,
+                              jnp.int32)
+        doc_base = jnp.asarray((np.arange(args.n) // 100) * 100, jnp.int32)
+        tts = jnp.zeros((b, lq), jnp.int32)
 
-    def fused():
-        return _fused_serve(
-            params, ids, mask, tts, flat.codes, f2o, doc_end, doc_base,
-            jnp.float32(flat.offset), jnp.float32(flat.scale),
-            jnp.int32(args.n), config=config, top_k=10,
-            max_answer_length=10, chunk=flat.chunk, attn_impl="auto")
-
-    t = max(synced_time(fused) - floor, 1e-6)
-    res["fused_b%d_ms" % b] = round(1000 * t, 3)
-    res["fused_qps_device"] = round(b / t, 1)
-
-    # amortized fused step (bf16-resident weights = serve configuration).
-    # EVERY corpus-sized array (codes AND f2o/doc_end/doc_base) is a jit
-    # argument — see the NOTE above on closure-captured HLO constants
-    @jax.jit
-    def fused_rep(p, i, codes, f2o_, doc_end_, doc_base_):
-        def body(it, acc):
-            out = _fused_serve(
-                p, jnp.roll(i, it, axis=0), mask, tts, codes, f2o_,
-                doc_end_, doc_base_, jnp.float32(flat.offset),
-                jnp.float32(flat.scale),
+        def fused():
+            return _fused_serve(
+                params, ids, mask, tts, flat.codes, f2o, doc_end, doc_base,
+                jnp.float32(flat.offset), jnp.float32(flat.scale),
                 jnp.int32(args.n), config=config, top_k=10,
                 max_answer_length=10, chunk=flat.chunk, attn_impl="auto")
-            res_, _s, _e = out
-            leaf = jax.tree.leaves(res_)[0]
-            return acc + leaf.sum().astype(jnp.float32)
-        return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
 
-    ms = repeat_ms(lambda: fused_rep(params_bf16, ids, flat.codes,
-                                     f2o, doc_end, doc_base),
-                   reps, floor)
-    res["fused_rep_b%d_ms" % b] = round(ms, 3)
-    res["fused_rep_qps_device"] = round(b / (ms / 1000.0), 1)
+        t = max(synced_time(fused) - floor, 1e-6)
+        res["fused_b%d_ms" % b] = round(1000 * t, 3)
+        res["fused_qps_device"] = round(b / t, 1)
+
+        # amortized fused step (bf16-resident weights = serve config).
+        # EVERY corpus-sized array (codes AND f2o/doc_end/doc_base) is a
+        # jit argument — see the NOTE above on closure-captured constants
+        @jax.jit
+        def fused_rep(p, i, codes_, f2o_, doc_end_, doc_base_):
+            def body(it, acc):
+                out = _fused_serve(
+                    p, jnp.roll(i, it, axis=0), mask, tts, codes_, f2o_,
+                    doc_end_, doc_base_, jnp.float32(flat.offset),
+                    jnp.float32(flat.scale),
+                    jnp.int32(args.n), config=config, top_k=10,
+                    max_answer_length=10, chunk=flat.chunk,
+                    attn_impl="auto")
+                res_, _s, _e = out
+                leaf = jax.tree.leaves(res_)[0]
+                return acc + leaf.sum().astype(jnp.float32)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0))
+
+        ms = repeat_ms(lambda: fused_rep(params_bf16, ids, flat.codes,
+                                         f2o, doc_end, doc_base),
+                       reps, floor)
+        res["fused_rep_b%d_ms" % b] = round(ms, 3)
+        res["fused_rep_qps_device"] = round(b / (ms / 1000.0), 1)
+        del f2o, doc_end, doc_base
 
     # ---- RC train step MFU (b24, L384 — the reference's training shape)
     # free the serve-bench corpus + jit caches first: the remat=none
     # variant needs the HBM the scan benches were holding
-    del flat, codes, f2o, doc_end, doc_base
+    if flat is not None:
+        del flat, codes
     jax.clear_caches()
+    if not (want("train") or want("tuned")):
+        os.makedirs(os.path.dirname(os.path.abspath(args.out)),
+                    exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(res, f, indent=1)
+        print(json.dumps(res))
+        return
 
     from densephrases_tpu.train.rc import (
         create_train_state,
@@ -265,12 +298,17 @@ def main():
                                      jnp.int32),
     }
     key = jax.random.PRNGKey(0)
-    # remat sweep: at BERT-base b24/L384 activations fit in HBM, so "none"
-    # skips the recompute FLOPs "full" pays. MFU always divides by the
-    # MODEL flops (the remat-free program's count) — recompute is overhead,
+    # Analytic model flops: XLA's cost_analysis under-reports on this
+    # backend (~10x). 6 * tokens * encoder-params over the three towers
+    # (fwd+bwd), embeddings excluded. MFU always divides by the MODEL
+    # flops (the remat-free program's count) — recompute is overhead,
     # not useful work.
-    fl_model = None
-    for remat in ("full", "dots", "none"):  # safest first: a late OOM cannot poison earlier numbers
+    p_enc = 12 * (4 * config.hidden_size ** 2 +
+                  2 * config.hidden_size * config.intermediate_size)
+    fl_model = 6.0 * p_enc * (bt * l + 2 * bt * lq)
+    # remat sweep: at BERT-base b24/L384 activations fit in HBM, so "none"
+    # skips the recompute FLOPs "full" pays.
+    for remat in (("full", "dots", "none") if want("train") else ()):  # safest first: a late OOM cannot poison earlier numbers
         suffix = "" if remat == "full" else f"_{remat}"
         step = make_train_step(config, RCLossConfig(lambda_neg=1.0,
                                                     lambda_flt=1.0), opt,
@@ -289,13 +327,6 @@ def main():
             res[f"train_error{suffix}"] = f"{type(e).__name__}: {e}"[:160]
             jax.clear_caches()
             continue
-        if fl_model is None:
-            # Analytic model flops: XLA's cost_analysis under-reports on
-            # this backend (~10x). 6 * tokens * encoder-params over the
-            # three towers (fwd+bwd), embeddings excluded.
-            p_enc = 12 * (4 * config.hidden_size ** 2 +
-                          2 * config.hidden_size * config.intermediate_size)
-            fl_model = 6.0 * p_enc * (bt * l + 2 * bt * lq)
         res[f"train_step_ms{suffix}"] = round(1000 * t, 1)
         res[f"train_mfu{suffix}"] = round(
             fl_model / t / (PEAK_TFLOPS * 1e12), 4)
@@ -328,31 +359,34 @@ def main():
     # (TrainOptions.hidden_act/rng_impl). The remat sweep above keeps the
     # HF-parity activation (exact erf) and threefry keys; TRAIN_ABLATE.json
     # attributes the individual deltas.
-    import dataclasses
+    if want("tuned"):
+        import dataclasses
 
-    cfg_tuned = dataclasses.replace(config, hidden_act="gelu_tanh")
-    step_tuned = make_train_step(
-        cfg_tuned, RCLossConfig(lambda_neg=1.0, lambda_flt=1.0), opt,
-        remat="dots")
-    key_rbg = jax.random.key(0, impl="rbg")
-    k_rep = 8
+        cfg_tuned = dataclasses.replace(config, hidden_act="gelu_tanh")
+        step_tuned = make_train_step(
+            cfg_tuned, RCLossConfig(lambda_neg=1.0, lambda_flt=1.0), opt,
+            remat="dots")
+        key_rbg = jax.random.key(0, impl="rbg")
+        k_rep = 8
 
-    @jax.jit
-    def train_rep_tuned(st, bt_, ky):
-        def body(i, carry):
-            s_, acc = carry
-            s2, m = step_tuned(s_, bt_, jax.random.fold_in(ky, i))
-            return (s2, acc + m["loss"])
-        return jax.lax.fori_loop(0, k_rep, body, (st, jnp.float32(0)))[1]
+        @jax.jit
+        def train_rep_tuned(st, bt_, ky):
+            def body(i, carry):
+                s_, acc = carry
+                s2, m = step_tuned(s_, bt_, jax.random.fold_in(ky, i))
+                return (s2, acc + m["loss"])
+            return jax.lax.fori_loop(0, k_rep, body,
+                                     (st, jnp.float32(0)))[1]
 
-    try:
-        ms_rep = repeat_ms(lambda: train_rep_tuned(state, batch, key_rbg),
-                           k_rep, floor, n_rep=2)
-        res["train_rep_ms_tuned"] = round(ms_rep, 1)
-        res["train_rep_mfu_tuned"] = round(
-            fl_model / (ms_rep / 1000.0) / (PEAK_TFLOPS * 1e12), 4)
-    except Exception as e:
-        res["train_rep_error_tuned"] = f"{type(e).__name__}: {e}"[:160]
+        try:
+            ms_rep = repeat_ms(
+                lambda: train_rep_tuned(state, batch, key_rbg),
+                k_rep, floor, n_rep=2)
+            res["train_rep_ms_tuned"] = round(ms_rep, 1)
+            res["train_rep_mfu_tuned"] = round(
+                fl_model / (ms_rep / 1000.0) / (PEAK_TFLOPS * 1e12), 4)
+        except Exception as e:
+            res["train_rep_error_tuned"] = f"{type(e).__name__}: {e}"[:160]
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:

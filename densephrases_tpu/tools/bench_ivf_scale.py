@@ -90,21 +90,40 @@ def gen_corpus_device(n: int, d: int, n_clusters: int = 4096, seed: int = 0,
 def cache_corpus(codes_dev, path: str, block: int = 1 << 20) -> None:
     """Stream a device corpus D2H into an int8 memmap at `path`.
 
-    ~22 MB/s on this tunnel -> ~6 min for 10M x 768; done once, marked
-    with a sidecar .done file so partial writes are never trusted.
+    ~22 MB/s on this tunnel on a good day -> ~6 min for 10M x 768, but
+    the link has been observed 10x slower — so the stream is RESUMABLE:
+    a `.progress` sidecar records the last fully-flushed block, and a
+    re-run (the device corpus is deterministic for a fixed seed) skips
+    straight past it. `.done` marks full completion; partial memmaps
+    without `.progress` are never trusted.
     """
     n, d = codes_dev.shape
-    mm = np.lib.format.open_memmap(path, mode="w+", dtype=np.int8,
-                                   shape=(n, d))
+    prog = path + ".progress"
+    start = 0
+    if os.path.exists(path) and os.path.exists(prog):
+        try:
+            prows, pd = (int(v) for v in open(prog).read().split()[:2])
+            if pd == d and 0 < prows <= n and prows % block == 0:
+                start = prows
+        except (ValueError, OSError):
+            start = 0
+    mm = np.lib.format.open_memmap(
+        path, mode="r+" if start else "w+", dtype=np.int8, shape=(n, d))
     t0 = time.perf_counter()
-    for b0 in range(0, n, block):
+    if start:
+        print(f"  resuming cache at row {start:,}/{n:,}", flush=True)
+    for b0 in range(start, n, block):
         mm[b0:b0 + block] = np.asarray(codes_dev[b0:b0 + block])
+        mm.flush()
+        with open(prog, "w") as f:
+            f.write(f"{b0 + block} {d}\n")
         print(f"  cached {b0 + block:,}/{n:,} rows "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
-    mm.flush()
     del mm
     with open(path + ".done", "w") as f:
         f.write(f"{n} {d}\n")
+    if os.path.exists(prog):
+        os.remove(prog)
 
 
 def timed(fn, n_rep: int = 5, warmup: int = 2):
@@ -214,10 +233,10 @@ def main():
                 args.n, args.d, args.nlist):
             res = {}
     quants = [q.strip() for q in args.quants.split(",")]
-    # drop keys from other runs / the old single-quant format
-    keep = {f"ivf_{q}" for q in quants}
-    res = {k: v for k, v in res.items()
-           if not k.startswith("ivf_") or k in keep}
+    # rows for quants NOT in this run are kept as-is (a prior run's
+    # results stay on the table); only the requested quants are
+    # (re)processed below. The n/d/nlist mismatch check above already
+    # guards against rows from a different-scale run.
     res.update({"n": args.n, "d": args.d, "nlist": args.nlist,
                 "backend": jax.default_backend(), "reps": args.reps})
 
