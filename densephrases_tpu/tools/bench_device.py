@@ -102,10 +102,19 @@ def main():
                     help="comma subset of {encode,scan,fused,train,tuned}: "
                          "re-measure just those sections, merging into an "
                          "existing --out JSON (tunnel time is scarce; a "
-                         "config change shouldn't force a full re-run)")
+                         "config change shouldn't force a full re-run). "
+                         "NOTE: the dispatch floor is re-measured on every "
+                         "run, so merged files mix sections floor-subtracted "
+                         "against slightly different floors — each section "
+                         "records the floor it was measured against as "
+                         "<section>_floor_ms.")
     args = ap.parse_args()
-    sections = (set(args.only.split(",")) if args.only
-                else {"encode", "scan", "fused", "train", "tuned"})
+    all_sections = {"encode", "scan", "fused", "train", "tuned"}
+    sections = (set(args.only.split(",")) if args.only else all_sections)
+    unknown = sections - all_sections
+    if unknown:
+        ap.error(f"--only: unknown section(s) {sorted(unknown)}; "
+                 f"valid: {sorted(all_sections)}")
 
     def want(s):
         return s in sections
@@ -126,10 +135,17 @@ def main():
     if args.only and os.path.exists(args.out):
         with open(args.out) as f:
             res = json.load(f)
-    res.update({"backend": jax.default_backend(), "n": args.n,
+    # the scan/fused corpus is padded up to the 65536 chunk size; record the
+    # PADDED n unconditionally (even when scan/fused sections are skipped in
+    # an --only merge) so bandwidth derived as n*dim/t from the artifact is
+    # always consistent with the corpus the scan keys were measured over
+    n_pad = ((args.n + 65535) // 65536) * 65536
+    res.update({"backend": jax.default_backend(), "n": n_pad,
                 "batch": args.batch, "peak_tflops": PEAK_TFLOPS})
     res["roundtrip_floor_ms"] = round(1000 * roundtrip_floor(), 2)
     floor = res["roundtrip_floor_ms"] / 1000.0
+    for s in sections:  # each section records the floor it was run against
+        res[f"{s}_floor_ms"] = res["roundtrip_floor_ms"]
     config = BertConfig.tiny(vocab_size=1000) if args.tiny else BertConfig()
     dim = config.hidden_size
     params = init_encoder_params(jax.random.PRNGKey(0), config)
@@ -183,12 +199,10 @@ def main():
     # device buffer in place
     flat = None
     if want("scan") or want("fused"):
-        n_pad = ((args.n + 65535) // 65536) * 65536
         codes = float_to_int8(
             jax.random.normal(jax.random.PRNGKey(7), (n_pad, dim),
                               jnp.float32) - 2.0)
         args.n = n_pad
-        res["n"] = n_pad
         flat = FlatIndex(codes, chunk=65536)
         q = jnp.asarray(rng.normal(size=(2 * b, dim)), jnp.float32)
         # NOTE: codes must be an explicit ARGUMENT — a jit closing over the

@@ -103,21 +103,31 @@ def cache_corpus(codes_dev, path: str, block: int = 1 << 20) -> None:
     if os.path.exists(path) and os.path.exists(prog):
         try:
             prows, pd = (int(v) for v in open(prog).read().split()[:2])
-            if pd == d and 0 < prows <= n and prows % block == 0:
+            if pd == d and 0 < prows <= n and (prows % block == 0
+                                               or prows == n):
                 start = prows
         except (ValueError, OSError):
             start = 0
     mm = np.lib.format.open_memmap(
         path, mode="r+" if start else "w+", dtype=np.int8, shape=(n, d))
+    if start and mm.shape != (n, d):
+        # open_memmap(mode="r+") trusts the on-disk header over the shape
+        # argument — a user-supplied --cache reused across scales would
+        # otherwise resume into a wrong-shaped memmap and bless it .done
+        del mm
+        start = 0
+        mm = np.lib.format.open_memmap(path, mode="w+", dtype=np.int8,
+                                       shape=(n, d))
     t0 = time.perf_counter()
     if start:
         print(f"  resuming cache at row {start:,}/{n:,}", flush=True)
     for b0 in range(start, n, block):
-        mm[b0:b0 + block] = np.asarray(codes_dev[b0:b0 + block])
+        b1 = min(b0 + block, n)
+        mm[b0:b1] = np.asarray(codes_dev[b0:b1])
         mm.flush()
         with open(prog, "w") as f:
-            f.write(f"{b0 + block} {d}\n")
-        print(f"  cached {b0 + block:,}/{n:,} rows "
+            f.write(f"{b1} {d}\n")  # clamped: the final record must be <= n
+        print(f"  cached {b1:,}/{n:,} rows "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
     del mm
     with open(path + ".done", "w") as f:
