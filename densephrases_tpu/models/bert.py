@@ -110,10 +110,24 @@ def _layer_norm(x, scale, bias, eps):
 
 
 def _dropout(x, rate, rng, deterministic):
+    """Inverted dropout from uint8 threshold masks.
+
+    ``jax.random.bernoulli`` draws a full-width f32 uniform per element;
+    one uint8 lane per element is 4x less generator work (the dominant
+    dropout cost even under rbg keys — see docs/TRAIN_ABLATE.json), and
+    the compare + multiply stay in the compute dtype so XLA fuses them
+    into the surrounding sublayer. Keep probability is quantized to
+    1/256 (exactly compensated in the scale), which is ample for
+    dropout rates."""
     if deterministic or rate == 0.0 or rng is None:
         return x
-    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
-    return jnp.where(keep, x / (1.0 - rate), 0.0).astype(x.dtype)
+    thr = int(round(rate * 256))
+    if thr <= 0:
+        return x
+    bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
+    keep_p = (256 - thr) / 256.0
+    scale = jnp.asarray(1.0 / keep_p, x.dtype)
+    return jnp.where(bits >= thr, x * scale, jnp.zeros((), x.dtype))
 
 
 def bert_forward(
