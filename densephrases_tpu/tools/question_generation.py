@@ -17,6 +17,7 @@ import json
 import logging
 import random
 import re
+import zlib
 from typing import Callable, List, Optional, Tuple
 
 logger = logging.getLogger(__name__)
@@ -45,6 +46,95 @@ def cloze_qg(context: str, max_questions: int = 3, seed: int = 0
         question = f"{wh} is " + sent.replace(ans, "").strip().rstrip(".?!,")
         question = re.sub(r"\s+", " ", question)[:200]
         out.append((question, ans))
+    return out
+
+
+_STOP = frozenset(
+    "the a an and or but of to in on at by for with from as is are was were "
+    "be been being has have had do does did will would can could should may "
+    "might it its his her their this that these those he she they we you i "
+    "not no nor so than then there here when where who whom which what why "
+    "how all any both each few more most other some such only own same s t "
+    "just also into over under again further once during before after above "
+    "below up down out off about against between through".split())
+
+_NUM_RE = re.compile(r"\b\d[\d,.]*%?\b")
+_WORD_RE = re.compile(r"[A-Za-z][A-Za-z'-]*")
+
+
+def _wh_for(ans: str, salt: int) -> str:
+    """Answer-type question word; deterministic variety via salt."""
+    if re.fullmatch(r"\d{4}", ans):
+        return "when"
+    if _NUM_RE.fullmatch(ans):
+        return ("how many", "when", "what")[salt % 3]
+    if ans[:1].isupper():
+        return ("who", "what", "which")[salt % 3]
+    return "what"
+
+
+def cloze_qg_extended(context: str, max_questions: int = 100, seed: int = 0
+                      ) -> List[Tuple[str, str]]:
+    """Richer cloze generator for data-scale studies (tools/dsmall.py).
+
+    The basic generator saturates at ~16 entity answers per paragraph —
+    far too few to study EM as a function of training pairs. This one
+    widens answer candidates to entity spans (including sentence-initial
+    ones), number/percent spans, and content-word n-grams, and varies
+    the question surface (answer-typed wh-word; full-sentence and local-
+    window cloze views), yielding ~50-150 distinct (question, answer)
+    pairs per Wikipedia paragraph. Role: a stand-in for the reference's
+    T5-large QG sampling many questions per paragraph
+    (ref: scripts/question_generation/generate_squad.py:14)."""
+    rng = random.Random(seed)
+    sents = re.split(r"(?<=[.!?])\s+", context)
+    cands = []
+    for sent in sents:
+        spans = set()
+        for m in _ENT_RE.finditer(sent):
+            spans.add(m.group(0))
+        for m in _NUM_RE.finditer(sent):
+            spans.add(m.group(0))
+        # content words + adjacent-bigram n-grams (no stopwords,
+        # lowercase-led so entity spans stay with the entity branch)
+        words = [(m.group(0), m.start()) for m in _WORD_RE.finditer(sent)]
+        for w, _ in words:
+            if (w[:1].islower() and w.lower() not in _STOP
+                    and len(w) >= 4):
+                spans.add(w)
+        for i in range(len(words) - 1):
+            (w1, p1), (w2, p2) = words[i], words[i + 1]
+            if (w1.lower() not in _STOP and w2.lower() not in _STOP
+                    and p2 == p1 + len(w1) + 1 and w1[:1].islower()):
+                spans.add(f"{w1} {w2}")
+        for ans in spans:
+            if len(ans) < 2 or ans.lower() in _STOP:
+                continue
+            cands.append((sent, ans))
+    rng.shuffle(cands)
+    out, seen = [], set()
+    for sent, ans in cands:
+        if len(out) >= max_questions:
+            break
+        salt = zlib.crc32((sent + '\x00' + ans).encode())
+        wh = _wh_for(ans, salt)
+        views = [sent]
+        # local-window view: ±8 words around the blank (a second surface
+        # form for the same fact)
+        pos = sent.find(ans)
+        if pos >= 0:
+            left = sent[:pos].split()[-8:]
+            right = sent[pos + len(ans):].split()[:8]
+            win = " ".join(left + right)
+            if win and win != sent:
+                views.append(win)
+        view = views[salt % len(views)]
+        q = f"{wh} is " + view.replace(ans, "", 1).strip().rstrip(".?!,")
+        q = re.sub(r"\s+", " ", q)[:200]
+        if (q, ans) in seen:
+            continue
+        seen.add((q, ans))
+        out.append((q, ans))
     return out
 
 

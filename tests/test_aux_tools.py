@@ -98,3 +98,30 @@ def test_preprocess_train_truecase(tmp_path):
     preprocess.main(["train-truecase", "--input", str(corpus), "--out", out])
     tc = TrueCaser(out)
     assert "Merkel" in tc.get_true_case("when did merkel visit paris")
+
+
+def test_cloze_qg_extended_yield_and_determinism():
+    from densephrases_tpu.tools.question_generation import cloze_qg_extended
+
+    ctx = ("Cristiano Ronaldo was born in Funchal in 1985. He joined "
+           "Sporting CP at age 12 after a successful trial. The club's "
+           "academy developed several famous players over the years. "
+           "His transfer fee was a record 12.24 million pounds.")
+    a = cloze_qg_extended(ctx, max_questions=100, seed=3)
+    b = cloze_qg_extended(ctx, max_questions=100, seed=3)
+    assert a == b  # deterministic across calls (crc32 salt, seeded rng)
+    assert len(a) > 25, len(a)  # far beyond the basic generator's yield
+    for q, ans in a:
+        assert ans in ctx and ans not in q.split(" is ", 1)[1].split()[:1]
+        assert q.split()[0] in ("what", "who", "when", "which", "how")
+
+
+def test_dsmall_subsample_nested():
+    from densephrases_tpu.tools.dsmall import subsample_per_par
+
+    exs = [{"par_key": f"p{i % 3}", "qid": str(i)} for i in range(30)]
+    small = subsample_per_par(exs, 2)
+    big = subsample_per_par(exs, 5)
+    assert len(small) == 6 and len(big) == 15
+    ids = {e["qid"] for e in big}
+    assert all(e["qid"] in ids for e in small)  # nested subsets
