@@ -245,6 +245,7 @@ def main():
             "host_assemble_b64": round(assemble_ms, 2),
         },
         "mips_init_s": round(mips_init_s, 3),
+        "mips_init_stages": mips.init_stages,
         "setup_s": round(setup_s, 1),
         "windows_s": {
             "sync": [round(t, 3) for t in sync_windows],

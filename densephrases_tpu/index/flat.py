@@ -37,6 +37,32 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_rows(buf, rows, i0):
+    """In-place (donated) row-range write into a device buffer."""
+    return jax.lax.dynamic_update_slice(buf, rows, (i0, 0))
+
+
+def _stream_to_device(codes, total_rows: int, slice_rows: int = 1 << 20):
+    """Upload a host (possibly memmapped) [N, W] array into a zero-padded
+    [total_rows, W] device buffer, slice by slice.
+
+    Peak host memory is one slice (not the corpus), disk reads overlap
+    the async per-slice transfers, and donation keeps peak device memory
+    at ONE buffer. Tail slices are padded up to slice_rows so the write
+    compiles exactly twice at most (full slice + one tail shape)."""
+    n, width = codes.shape
+    buf = jnp.zeros((total_rows, width), np.asarray(codes[:1]).dtype)
+    for i0 in range(0, n, slice_rows):
+        rows = np.ascontiguousarray(codes[i0:i0 + slice_rows])
+        if rows.shape[0] < slice_rows and i0 > 0:
+            pad = np.zeros((min(slice_rows, total_rows - i0) - rows.shape[0],
+                            width), rows.dtype)
+            rows = np.concatenate([rows, pad])
+        buf = _write_rows(buf, jnp.asarray(rows), i0)
+    return buf
+
+
 @functools.partial(jax.jit, static_argnames=("top_k", "chunk"))
 def _scan_topk_int4(queries, packed, n_valid, offset, scale,
                     *, top_k: int, chunk: int):
@@ -189,6 +215,14 @@ class FlatIndex:
         if (mesh is None and isinstance(codes, jnp.ndarray)
                 and codes.shape[0] == total_rows):
             self.codes = codes  # shared in-place buffer
+        elif mesh is None and self.n_total * width > (64 << 20):
+            # Large single-device corpus: STREAM slices into a donated
+            # device buffer instead of materializing a padded host copy +
+            # one monolithic device_put. Avoids an O(corpus) host copy
+            # (the source is typically a disk memmap) and overlaps disk
+            # reads with the per-slice host→device transfers — the cold
+            # serve-startup path the driver measures (mips_init_s).
+            self.codes = _stream_to_device(codes, total_rows)
         else:
             padded = np.zeros((total_rows, width), np.asarray(codes).dtype)
             padded[: self.n_total] = np.asarray(codes)

@@ -1026,9 +1026,22 @@ class IVFIndex:
         small = _round_up(
             max(int(np.ceil(u_cap * self._pack_mean_blk * 1.35)), PACK_TPB),
             64)
+        # SMEM ceiling: the block table scalar-prefetches into SMEM (~1 MB
+        # on v5e); tables beyond ~768 KB fail to compile. The worst-case
+        # tier is clipped to the ceiling — at probe counts where the true
+        # worst case exceeds it, coverage truncates at the ceiling (only
+        # reachable when a batch's probed lists are pathologically long;
+        # the mid tier below keeps a 2x cushion over the mean estimate).
+        smem_max = int(os.environ.get("DPH_PACK_SMEM_BLOCKS", 160 * 1024))
+        worst = min(worst, _round_up(smem_max, 64))
+        small = min(small, worst)
+        tiers = []
         if small < int(0.75 * worst):
-            return (small, worst)
-        return (worst,)
+            tiers.append(small)
+            if small * 2 < int(0.75 * worst):
+                tiers.append(_round_up(small * 2, 64))
+        tiers.append(worst)  # the guard tier: always compiled last
+        return tuple(dict.fromkeys(tiers))
 
     # ------------------------------------------------------------- io
     # --------------------------------------------------- bench harness

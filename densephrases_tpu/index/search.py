@@ -203,12 +203,17 @@ class MIPS:
     def __init__(self, store: PhraseStore, index=None, rotation: Optional[np.ndarray] = None,
                  mesh=None, shard_axis: str = "shard", collect_stats: bool = False,
                  preload_meta: bool = True):
+        import time as _time
+
         self.store = store
         self.collect_stats = collect_stats
         self.R = None if rotation is None else jnp.asarray(rotation, jnp.float32)
+        stages = {}
+        t = _time.perf_counter()
         if index is None:
-            index = FlatIndex(np.asarray(store.vecs), store.offset, store.scale,
+            index = FlatIndex(store.vecs, store.offset, store.scale,
                               mesh=mesh, shard_axis=shard_axis)
+            stages["index_upload_s"] = round(_time.perf_counter() - t, 3)
         self.index = index
         # Host-tiered mode (corpus > HBM): the index exposes a host row
         # gather instead of a device-resident corpus buffer; stage 2 then
@@ -217,15 +222,21 @@ class MIPS:
         self.tiered = hasattr(index, "gather_rows_host")
 
         if preload_meta:
-            # Parallel-decompress all doc metadata up front (native batch
-            # codec) — serve-time metadata-on-RAM mode (ref: index.py:69-76).
-            store.preload_metas()
+            # Parallel-decompress all doc metadata in the BACKGROUND —
+            # serve-time metadata-on-RAM mode (ref: index.py:69-76) without
+            # blocking startup; per-doc meta() decompresses on demand until
+            # the sweep catches up.
+            store.preload_metas(background=True)
 
         # Vectorized construction of the per-row serve arrays: f2o comes
-        # from the store's batch-decompressed (and disk-cached) flat map;
-        # doc bounds are a repeat over the doc-length run lengths. No
-        # per-doc Python loop — at 10M rows this is seconds, not hours.
+        # from the store's flat-map sidecar (written at store finalize; a
+        # batch decompress rebuilds it for legacy stores); doc bounds are a
+        # repeat over the doc-length run lengths. No per-doc Python loop —
+        # at 10M rows this is seconds, not hours.
+        t = _time.perf_counter()
         f2o = store.f2o_flat()
+        stages["f2o_s"] = round(_time.perf_counter() - t, 3)
+        t = _time.perf_counter()
         lens = np.diff(store.doc_bases).astype(np.int64)
         doc_end_row = np.repeat(store.doc_bases[1:].astype(np.int64), lens)
         doc_base_row = np.repeat(store.doc_bases[:-1].astype(np.int64), lens)
@@ -248,6 +259,9 @@ class MIPS:
             self.f2o_dev = jnp.asarray(f2o)
             self.doc_end_dev = jnp.asarray(doc_end_row)
             self.doc_base_dev = jnp.asarray(doc_base_row)
+            jax.block_until_ready(self.f2o_dev)
+        stages["serve_arrays_s"] = round(_time.perf_counter() - t, 3)
+        self.init_stages = stages
         self.num_docs_list: List[float] = []
         # stage-timer decomposition (ref ad-hoc spans: index.py:194-218 etc.)
         self.timer = StageTimer()

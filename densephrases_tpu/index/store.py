@@ -206,9 +206,14 @@ class StoreWriter:
         if not self._stream_f.closed:
             self._stream_f.flush()
 
-    def finalize(self, mmap: bool = False) -> "PhraseStore":
+    def finalize(self, mmap: bool = False,
+                 build_sidecars: bool = True) -> "PhraseStore":
         """Snapshot the doc index + commit marker. Cheap (O(num_docs)) and
-        idempotent — the vector file is already on disk."""
+        idempotent — the vector file is already on disk.
+
+        build_sidecars: also persist the serve-time f2o sidecar NOW, so
+        the first serve's cold start is the warm path (ref serve startup
+        role: index.py:69-76 meta_compressed.pkl preload)."""
         self.flush()
         if not self._vec_f.closed:
             self._vec_f.close()
@@ -222,7 +227,10 @@ class StoreWriter:
             json.dump({"n_vecs": int(self._n), "dim": self.dim,
                        "offset": self.offset, "scale": self.scale,
                        "quant": self.quant}, f)
-        return PhraseStore.load(self.path, mmap=mmap)
+        st = PhraseStore.load(self.path, mmap=mmap)
+        if build_sidecars:
+            st.f2o_flat()  # writes + stamps the f2o.int32 sidecar
+        return st
 
 
 @dataclass
@@ -300,10 +308,22 @@ class PhraseStore:
             self._meta_cache[doc_pos] = DocMeta.decompress(self.metas[doc_pos])
         return self._meta_cache[doc_pos]
 
-    def preload_metas(self):
+    def preload_metas(self, background: bool = False):
         """Decompress ALL doc metadata into the cache using the native
         parallel zlib codec — the serve-time 'metadata on RAM' mode
-        (ref: index.py:69-76 meta_compressed.pkl preloading)."""
+        (ref: index.py:69-76 meta_compressed.pkl preloading).
+
+        background=True returns immediately and fills the cache from a
+        daemon thread: serving starts cold-path-fast and per-doc meta()
+        decompresses on demand until the sweep catches up (duplicate
+        decompression of a doc is pure and harmless)."""
+        if background:
+            import threading
+
+            t = threading.Thread(target=self.preload_metas, daemon=True)
+            t.start()
+            self._preload_thread = t
+            return self
         from densephrases_tpu import native
 
         todo = [i for i in range(self.num_docs) if i not in self._meta_cache]
