@@ -16,7 +16,13 @@ export DATA_DIR SAVE_DIR CACHE_DIR
 
 .PHONY: test draft train-rc gen-vecs index-vecs eval-index serve bench clean-draft
 
+# fast gate (<5 min): unit + component tests. `make test-all` adds the
+# heavy integration suites (cli pipeline, end-to-end, acceptance, golden
+# activations, two-process serve) — ~25 min on the forced-CPU mesh.
 test:
+	$(PY) -m pytest tests/ -q -m "not slow"
+
+test-all:
 	$(PY) -m pytest tests/ -q
 
 # ---- per-stage targets (ref Makefile:81-230) --------------------------------

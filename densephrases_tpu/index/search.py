@@ -251,9 +251,18 @@ class MIPS:
             # buffer, share it (rescore clips row indices, so padding rows
             # are harmless).
             idx_codes = getattr(index, "codes", None)
+            idx_refine = getattr(index, "refine_codes", None)
             if (isinstance(index, FlatIndex) and index.mesh is None
                     and idx_codes is not None and idx_codes.ndim == 2):
                 self.vecs_dev = idx_codes
+            elif (idx_refine is not None and idx_refine.ndim == 2
+                  and int(idx_refine.shape[0]) >= store.n_vecs
+                  and int(idx_refine.shape[1]) == store.dim):
+                # PQ/OPQ index with int8 refine: the refine matrix IS the
+                # original-order int8 corpus — share it with the rescore
+                # stage instead of uploading a second 8 GB copy (the only
+                # way BOTH stages of a 10M+ OPQ serve fit one chip's HBM)
+                self.vecs_dev = idx_refine
             else:
                 self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
             self.f2o_dev = jnp.asarray(f2o)

@@ -99,7 +99,8 @@ def main():
                     help="tiny encoder + small shapes: CPU smoke test of "
                          "the harness itself, not a measurement")
     ap.add_argument("--only", default=None,
-                    help="comma subset of {encode,scan,fused,train,tuned}: "
+                    help="comma subset of {encode,scan,fused,train,tuned,"
+                         "parity}: "
                          "re-measure just those sections, merging into an "
                          "existing --out JSON (tunnel time is scarce; a "
                          "config change shouldn't force a full re-run). "
@@ -109,7 +110,8 @@ def main():
                          "records the floor it was measured against as "
                          "<section>_floor_ms.")
     args = ap.parse_args()
-    all_sections = {"encode", "scan", "fused", "train", "tuned"}
+    all_sections = {"encode", "scan", "fused", "train", "tuned",
+                    "parity"}
     sections = (set(args.only.split(",")) if args.only else all_sections)
     unknown = sections - all_sections
     if unknown:
@@ -280,7 +282,7 @@ def main():
     if flat is not None:
         del flat, codes
     jax.clear_caches()
-    if not (want("train") or want("tuned")):
+    if not (want("train") or want("tuned") or want("parity")):
         os.makedirs(os.path.dirname(os.path.abspath(args.out)),
                     exist_ok=True)
         with open(args.out, "w") as f:
@@ -401,6 +403,37 @@ def main():
                 fl_model / (ms_rep / 1000.0) / (PEAK_TFLOPS * 1e12), 4)
         except Exception as e:
             res["train_rep_error_tuned"] = f"{type(e).__name__}: {e}"[:160]
+
+    # ---- parity training config AS THE CLI RUNS IT: exact-erf gelu (HF
+    # golden parity preserved) + remat=dots + rbg dropout keys + the
+    # uint8-lane dropout masks (models/bert._dropout) — the VERDICT-r3
+    # target is >= 0.25 MFU here WITHOUT giving up activation parity.
+    if want("parity"):
+        step_par = make_train_step(
+            config, RCLossConfig(lambda_neg=1.0, lambda_flt=1.0), opt,
+            remat="dots")
+        key_rbg2 = jax.random.key(1, impl="rbg")
+        k_rep = 8
+
+        @jax.jit
+        def train_rep_parity(st, bt_, ky):
+            def body(i, carry):
+                s_, acc = carry
+                s2, m = step_par(s_, bt_, jax.random.fold_in(ky, i))
+                return (s2, acc + m["loss"])
+            return jax.lax.fori_loop(0, k_rep, body,
+                                     (st, jnp.float32(0)))[1]
+
+        try:
+            ms_rep = repeat_ms(
+                lambda: train_rep_parity(state, batch, key_rbg2),
+                k_rep, floor, n_rep=2)
+            res["train_rep_ms_parity"] = round(ms_rep, 1)
+            res["train_rep_mfu_parity"] = round(
+                fl_model / (ms_rep / 1000.0) / (PEAK_TFLOPS * 1e12), 4)
+            res["parity_floor_ms"] = round(floor, 2)
+        except Exception as e:
+            res["train_rep_error_parity"] = f"{type(e).__name__}: {e}"[:160]
 
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     with open(args.out, "w") as f:

@@ -10,6 +10,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration: run in the full gate only
+
 from densephrases_tpu.data.rc_dataset import batches, convert_rc_examples
 from densephrases_tpu.data.tokenization import train_wordpiece_vocab
 from densephrases_tpu.dump import dump_phrases

@@ -8,6 +8,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration: run in the full gate only
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

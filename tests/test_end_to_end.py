@@ -24,6 +24,8 @@ from densephrases_tpu.models.bert import BertConfig
 from densephrases_tpu.models.encoder import init_encoder_params
 from densephrases_tpu.ops.quant import int8_to_float
 
+pytestmark = pytest.mark.slow  # heavy integration: run in the full gate only
+
 ARTICLES = "/root/reference/examples/create-custom-index/articles.json"
 
 

@@ -28,6 +28,8 @@ from densephrases_tpu.models.encoder import (
 )
 from densephrases_tpu.models.hf_import import bert_params_from_state_dict
 
+pytestmark = pytest.mark.slow  # heavy integration: run in the full gate only
+
 
 def _hf_pair(seed=0, layers=3, hidden=64, heads=4, ffn=128, vocab=211,
              max_pos=96, types=2):

@@ -16,6 +16,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow  # heavy integration: run in the full gate only
+
 transformers = pytest.importorskip("transformers")
 tokenizers = pytest.importorskip("tokenizers")
 

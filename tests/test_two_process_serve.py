@@ -23,6 +23,8 @@ from densephrases_tpu.serve.server import (
 )
 from tests.test_serve import _free_port, _serve_in_thread
 
+pytestmark = pytest.mark.slow  # heavy integration: run in the full gate only
+
 
 def test_p_serve_uses_remote_encoder(tmp_path):
     docs = [{"doc_id": 0, "title": "T",
