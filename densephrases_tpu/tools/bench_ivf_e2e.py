@@ -83,6 +83,11 @@ def main():
     args = ap.parse_args()
 
     import jax
+
+    # honor JAX_PLATFORMS=cpu (the env var alone does not switch the
+    # backend under the pinned axon plugin; see tests/conftest)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from densephrases_tpu.data.tokenization import train_wordpiece_vocab
