@@ -72,3 +72,49 @@ def test_ivf_mips_matches_flat_mips(tmp_path, fine_quant, nprobe, min_overlap):
     for ret in out_ivf:
         for r in ret:
             assert r["answer"] == r["context"][r["start_pos"]:r["end_pos"]]
+
+
+def test_mips_shares_opq_refine_matrix(tmp_path):
+    """A PQ/OPQ index's int8 refine matrix is the original-order corpus;
+    MIPS must reuse it for the rescore stage instead of uploading a
+    second corpus copy (the 10M-scale HBM budget depends on this)."""
+    import numpy as np
+
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.index.search import MIPS
+
+    store = _store(tmp_path)
+    cfg = IVFConfig(num_clusters=8, fine_quant="OPQ32", kmeans_iters=2,
+                    pq_iters=2, opq_iters=1)
+    ivf = IVFIndex.build(np.asarray(store.vecs), cfg)
+    assert ivf.refine_codes is not None
+    mips = MIPS(store, index=ivf)
+    assert mips.vecs_dev is ivf.refine_codes
+    q = np.random.default_rng(0).normal(
+        size=(2, 2 * store.dim)).astype(np.float32)
+    outs = mips.search(q, top_k=3, nprobe=8, aggregate=True)
+    assert len(outs) == 2 and outs[0]
+
+
+def test_pack_budget_tiers_ladder():
+    """Tier ladder: ascending, last tier is the (SMEM-clipped) worst
+    case, and every tier is 64-block aligned."""
+    import os
+
+    import numpy as np
+
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.ops.quant import float_to_int8
+
+    rng = np.random.default_rng(0)
+    codes = float_to_int8(rng.normal(size=(4000, 128)).astype(np.float32) * 0.4)
+    idx = IVFIndex.build(codes, IVFConfig(num_clusters=16, fine_quant="SQ8",
+                                          kmeans_iters=2))
+    for b, nprobe in ((1, 4), (8, 16), (64, 16)):
+        tiers = idx._pack_budgets(b, nprobe)
+        assert all(t % 64 == 0 for t in tiers), tiers
+        assert list(tiers) == sorted(set(tiers)), tiers
+        u = min(b * nprobe, int(idx.centroids.shape[0]))
+        worst = int(idx._pack_table[u - 1])
+        smem = int(os.environ.get("DPH_PACK_SMEM_BLOCKS", 160 * 1024))
+        assert tiers[-1] >= min(worst, smem), (tiers, worst)
