@@ -501,10 +501,15 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
 
 
 def _sq4_encode_stream(codes_int8: np.ndarray, offset: float, scale: float,
-                       chunk: int = 1 << 20) -> np.ndarray:
+                       chunk: int = 1 << 18) -> np.ndarray:
     """Streamed int8 → packed-int4 re-quantization (SQ4; ref QT_4bit,
     build_phrase_index.py:103-105). Blocks dequantize + re-quantize on
-    device and download packed — no O(corpus) float copy anywhere."""
+    device and download packed — no O(corpus) float copy anywhere.
+
+    Chunks are sized so the per-chunk f32 intermediates stay well under
+    1 GB of HBM (a 1M-row chunk at d=768 needs ~7 GB of temporaries and
+    OOMs a 16 GB chip next to a resident index), and each chunk's device
+    buffers are dropped before the next upload."""
     n, d = codes_int8.shape
     assert d % 2 == 0, "int4 packing needs an even feature dim"
     out = np.empty((n, d // 2), np.uint8)
@@ -513,7 +518,9 @@ def _sq4_encode_stream(codes_int8: np.ndarray, offset: float, scale: float,
         blk = jnp.asarray(np.ascontiguousarray(codes_int8[s:s + chunk]))
         f = (blk.astype(jnp.float32) / scale + offset if quant_in
              else blk.astype(jnp.float32))
-        out[s:s + chunk] = np.asarray(float_to_int4(f))
+        packed = float_to_int4(f)
+        out[s:s + chunk] = np.asarray(packed)  # blocks: one chunk in flight
+        del blk, f, packed
     return out.view(np.int8)
 
 
