@@ -359,6 +359,7 @@ def main():
     coarse_dir = os.path.join(
         args.workdir, f"ivf_scale_coarse_{args.n}x{args.d}_{args.nlist}")
 
+    probes = (16, 64, 256)
     for quant in quants:
         qkey = f"ivf_{quant}"
         idx_dir = os.path.join(
@@ -367,6 +368,12 @@ def main():
         res[qkey] = qres
 
         print(f"=== {quant} ===", flush=True)
+        if (os.path.exists(os.path.join(idx_dir, "save.done"))
+                and all("rep_b64_ms" in qres.get(f"p{p}", {})
+                        for p in probes)):
+            # fully measured: don't pay the multi-GB index upload at all
+            print("  all probe rows cached; skipping", flush=True)
+            continue
         t0 = time.perf_counter()
         if os.path.exists(os.path.join(idx_dir, "save.done")):
             print(f"loading cached index {idx_dir} ...", flush=True)
@@ -399,7 +406,7 @@ def main():
         qres["packed_ok"] = bool(ivf._packed_ok)
         flush()
 
-        for nprobe in (16, 64, 256):
+        for nprobe in probes:
             pkey = f"p{nprobe}"
             if pkey in qres and "rep_b64_ms" in qres[pkey]:
                 print(f"  {pkey}: cached {qres[pkey]}", flush=True)
