@@ -66,6 +66,7 @@ from densephrases_tpu.ops.quant import (
     INT4_OFFSET,
     INT4_SCALE,
     float_to_int4,
+    train_int4_ranges,
 )
 from densephrases_tpu.ops.topk import topk_merge
 
@@ -107,7 +108,9 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     if is_pq:
         lut_bf = pq_lut(pq_books, q_rot).astype(jnp.bfloat16)  # [B, M, 256]
     else:
-        qsum = q_rot.sum(-1) * offset
+        # offset may be a per-dim vector (trained int4 ranges) — for a
+        # scalar this reduces to q.sum * offset exactly
+        qsum = (q_rot * offset).sum(-1)
         q_bf = q_rot.astype(jnp.bfloat16)
 
     col = jnp.arange(cap, dtype=jnp.int32)[None, :]
@@ -210,7 +213,9 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     if is_pq:
         flat_lut = pq_lut(pq_books, q_rot).reshape(b, -1).astype(jnp.bfloat16)
     else:
-        qsum = q_rot.sum(-1) * offset
+        # vector offset = trained per-dim int4 ranges (scalar-equivalent
+        # for the legacy contracts)
+        qsum = (q_rot * offset).sum(-1)
         q_bf = q_rot.astype(jnp.bfloat16)
 
     col = jnp.arange(cap, dtype=jnp.int32)
@@ -501,6 +506,7 @@ def _balance_lists_hier(x: np.ndarray, centroids: np.ndarray,
 
 
 def _sq4_encode_stream(codes_int8: np.ndarray, offset: float, scale: float,
+                       int4_offset=INT4_OFFSET, int4_scale=INT4_SCALE,
                        chunk: int = 1 << 18) -> np.ndarray:
     """Streamed int8 → packed-int4 re-quantization (SQ4; ref QT_4bit,
     build_phrase_index.py:103-105). Blocks dequantize + re-quantize on
@@ -514,11 +520,15 @@ def _sq4_encode_stream(codes_int8: np.ndarray, offset: float, scale: float,
     assert d % 2 == 0, "int4 packing needs an even feature dim"
     out = np.empty((n, d // 2), np.uint8)
     quant_in = codes_int8.dtype == np.int8
+    i4_off = (jnp.asarray(int4_offset, jnp.float32)
+              if np.ndim(int4_offset) else float(int4_offset))
+    i4_sc = (jnp.asarray(int4_scale, jnp.float32)
+             if np.ndim(int4_scale) else float(int4_scale))
     for s in range(0, n, chunk):
         blk = jnp.asarray(np.ascontiguousarray(codes_int8[s:s + chunk]))
         f = (blk.astype(jnp.float32) / scale + offset if quant_in
              else blk.astype(jnp.float32))
-        packed = float_to_int4(f)
+        packed = float_to_int4(f, i4_off, i4_sc)
         out[s:s + chunk] = np.asarray(packed)  # blocks: one chunk in flight
         del blk, f, packed
     return out.view(np.int8)
@@ -562,6 +572,12 @@ class IVFConfig:
     two_level_clusters: int = 8192
     # parents probed during hierarchical assignment (accuracy/speed knob)
     assign_probe: int = 8
+    # SQ4: train per-dim int4 ranges from the sample (FAISS QT_4bit
+    # parity) instead of the fixed global INT4_OFFSET/INT4_SCALE affine
+    sq4_train_ranges: bool = True
+    # explicit (offset[D], scale[D]) int4 contract — overrides training;
+    # sharded builds use this to share ONE contract across shards
+    int4_ranges: Optional[tuple] = None
 
 
 class IVFIndex:
@@ -575,8 +591,15 @@ class IVFIndex:
                  int4_scale: float = INT4_SCALE):
         self.cfg = cfg
         self.sq4 = cfg.fine_quant == "SQ4"
-        self.int4_offset = float(int4_offset)
-        self.int4_scale = float(int4_scale)
+        # scalar = the fixed legacy contract; [D] vectors = trained per-dim
+        # ranges (ops/quant.train_int4_ranges; FAISS QT_4bit parity)
+        self.int4_vector = np.ndim(int4_offset) > 0
+        if self.int4_vector:
+            self.int4_offset = jnp.asarray(int4_offset, jnp.float32)
+            self.int4_scale = jnp.asarray(int4_scale, jnp.float32)
+        else:
+            self.int4_offset = float(int4_offset)
+            self.int4_scale = float(int4_scale)
         # packed scan wants 32-row-block-addressable codes; align host-side
         # arrays (free for in-RAM arrays), leave already-uploaded device
         # arrays alone. A disk-backed memmap (legacy unaligned save loaded
@@ -857,6 +880,7 @@ class IVFIndex:
         # blocks through a fused dequant(+rotate)+assign device pipeline.
         rotation = None
         pq = None
+        i4_off, i4_sc = INT4_OFFSET, INT4_SCALE
         fq = cfg.fine_quant
         if fq.startswith("OPQ"):
             m = int(fq[3:])
@@ -880,8 +904,29 @@ class IVFIndex:
         elif fq == "SQ8":
             fine_codes = codes_int8
         elif fq == "SQ4":
+            i4_off, i4_sc = INT4_OFFSET, INT4_SCALE
+            if getattr(cfg, "int4_ranges", None) is not None:
+                i4_off, i4_sc = cfg.int4_ranges
+            elif getattr(cfg, "sq4_train_ranges", True):
+                # trained per-dim ranges (FAISS QT_4bit trains vmin/vdiff
+                # per dim; ref build_phrase_index.py:103-105): the fixed
+                # global affine clips tails / wastes levels — measured
+                # +0.16 recall@20 at 10.5M. Quantiles on a bounded
+                # subsample of the training sample.
+                sample, s_off, s_scale = (
+                    sample_cache or IVFIndex._train_sample(
+                        codes_int8, cfg, offset, scale))
+                sub = np.ascontiguousarray(
+                    sample[:: max(len(sample) // 131072, 1)])
+                sub_f = (sub.astype(np.float32) / s_scale + s_off
+                         if sub.dtype == np.int8 else
+                         sub.astype(np.float32))
+                i4_off, i4_sc = train_int4_ranges(sub_f)
+                del sub, sub_f
             fine_codes = _sq4_encode_stream(codes_int8, offset=offset,
-                                            scale=scale)
+                                            scale=scale,
+                                            int4_offset=i4_off,
+                                            int4_scale=i4_sc)
         else:
             raise ValueError(f"unknown fine_quant {fq}")
 
@@ -904,7 +949,26 @@ class IVFIndex:
         refine = codes_int8 if (pq is not None and cfg.refine_factor > 1) else None
         return IVFIndex(cfg, centroids, row_perm, list_offsets, sorted_codes,
                         rotation=rotation, pq=pq, offset=offset, scale=scale,
-                        n_total=n, refine_codes=refine)
+                        n_total=n, refine_codes=refine,
+                        int4_offset=i4_off, int4_scale=i4_sc)
+
+    def _scan_contract(self, queries):
+        """(q_score, offset, scale) for the union scans.
+
+        SQ8 / legacy-scalar SQ4: identity queries + the scalar affine.
+        Trained per-dim SQ4: the score wanted is
+        ``sum_d q_d (code_d / scale_d + lo_d)`` — fold the per-dim scale
+        into the QUERY (q / scale_vec) and the bias into a vector offset
+        (scale_vec * lo_vec, so the scan's (q_score * offset).sum equals
+        q·lo), leaving the scan's own scale at 1.0. Probing always uses
+        the untransformed queries."""
+        if not self.sq4:
+            return queries, jnp.float32(self.offset), jnp.float32(self.scale)
+        if not self.int4_vector:
+            return (queries, jnp.float32(self.int4_offset),
+                    jnp.float32(self.int4_scale))
+        return (queries / self.int4_scale,
+                self.int4_scale * self.int4_offset, jnp.float32(1.0))
 
     # ------------------------------------------------------- union search
     def search_union(self, queries, top_k: int = 10, nprobe: int = 64,
@@ -923,21 +987,21 @@ class IVFIndex:
         queries = jnp.asarray(queries, jnp.float32)
         nprobe = min(nprobe, int(self.centroids.shape[0]))
         is_pq = self.pq_books is not None
-        off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
-                   else (self.offset, self.scale))
+        q_score, off, sc = self._scan_contract(queries)
         if not is_pq and self.use_packed and self._packed_ok:
             # exact-length block DMA (ops/ivf_pack): HBM traffic ~sum(len)
             # instead of cap × nlists — kills the fixed-cap read amplification
             b = int(queries.shape[0])
             vals, ids = packed_union_scan(
                 queries, self.centroids, self.list_offsets, self.codes,
-                self.row_perm, jnp.float32(off), jnp.float32(sc),
+                self.row_perm, off, sc, q_score=q_score,
                 top_k=top_k, nprobe=nprobe, cap=self.cap,
                 budgets=self._pack_budgets(b, nprobe),
                 n_real=self.n_real, sq4=self.sq4,
                 interpret=(jax.default_backend() != "tpu"))
         else:
-            q_rot = (queries if self.rotation is None
+            q_rot = (q_score if self.sq4
+                     else queries if self.rotation is None
                      else queries @ self.rotation)
             do_refine = is_pq and self.refine_codes is not None
             scan_k = (min(top_k * self.cfg.refine_factor,
@@ -952,7 +1016,7 @@ class IVFIndex:
             vals, ids = _union_scan(
                 queries, q_rot, self.centroids, self.list_offsets,
                 self.codes, self.row_perm, self.pq_books, self.refine_codes,
-                jnp.float32(off), jnp.float32(sc), top_k=top_k,
+                off, sc, top_k=top_k,
                 nprobe=nprobe, cap=self.cap, group=group, scan_k=scan_k,
                 sq4=self.sq4)
         if vals.shape[1] < top_k:  # corpus smaller than top_k: pad
@@ -976,8 +1040,12 @@ class IVFIndex:
         queries = jnp.asarray(queries, jnp.float32)
         # SQ4 lists only exist in the union-scan formulations (the per-probe
         # scan never learned to unpack nibbles — by design: single queries
-        # route through the packed scan just as efficiently)
-        if (self.sq4
+        # route through the packed scan just as efficiently). PQ also
+        # always routes to the union scan: the per-probe PQ path expands a
+        # [B, cap, M, 256] one-hot whose size is unbounded in the list cap
+        # (11.7 GB at cap 2377 / OPQ96 — a device-killing allocation); the
+        # union scan bounds the expansion per group instead.
+        if (self.sq4 or self.pq_books is not None
                 or queries.shape[0] >= getattr(self.cfg,
                                                "prefer_union_batch", 4)):
             return self.search_union(queries, top_k=top_k, nprobe=nprobe,
@@ -1069,8 +1137,8 @@ class IVFIndex:
         if packed is None:
             packed = (self.pq_books is None and self.use_packed
                       and self._packed_ok)
-        off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
-                   else (self.offset, self.scale))
+        qs_bench, off, sc = self._scan_contract(queries)
+        del qs_bench  # recomputed per perturbed query inside the loop
         b = int(queries.shape[0])
         key = ("bench_union", bool(packed), top_k, nprobe, reps, b)
         run = self._search_cache.get(key)
@@ -1080,14 +1148,19 @@ class IVFIndex:
             # compilers reject outright
             interp = jax.default_backend() != "tpu"
             cap, sq4, rotation = self.cap, self.sq4, self.rotation
+            # per-dim trained int4: fold the scale vector into the query
+            # (see _scan_contract); the [D] constants are tiny closures
+            i4_vec = sq4 and self.int4_vector
+            i4_scale = self.int4_scale if i4_vec else None
             if packed:
                 budgets = self._pack_budgets(b, nprobe)
                 n_real = self.n_real
 
                 def one(q, cents, loffs, codes, perm, books, refine):
+                    qs = q / i4_scale if i4_vec else None
                     return packed_union_scan(
-                        q, cents, loffs, codes, perm, jnp.float32(off),
-                        jnp.float32(sc), top_k=top_k, nprobe=nprobe,
+                        q, cents, loffs, codes, perm, off,
+                        sc, q_score=qs, top_k=top_k, nprobe=nprobe,
                         cap=cap, budgets=budgets, n_real=n_real, sq4=sq4,
                         interpret=interp)
             else:
@@ -1102,10 +1175,13 @@ class IVFIndex:
                 group = int(np.clip(row_budget // max(cap, 1), 1, 64))
 
                 def one(q, cents, loffs, codes, perm, books, refine):
-                    q_rot = q if rotation is None else q @ rotation
+                    if i4_vec:
+                        q_rot = q / i4_scale
+                    else:
+                        q_rot = q if rotation is None else q @ rotation
                     return _union_scan(
                         q, q_rot, cents, loffs, codes, perm, books, refine,
-                        jnp.float32(off), jnp.float32(sc), top_k=top_k,
+                        off, sc, top_k=top_k,
                         nprobe=nprobe, cap=cap, group=group, scan_k=scan_k,
                         sq4=sq4)
 
@@ -1138,8 +1214,10 @@ class IVFIndex:
                  else np.asarray(self.rotation),
                  "pq": self.pq, "offset": self.offset, "scale": self.scale,
                  "n_total": self.n_total,
-                 "int4_offset": self.int4_offset,
-                 "int4_scale": self.int4_scale}
+                 "int4_offset": (np.asarray(self.int4_offset)
+                                 if self.int4_vector else self.int4_offset),
+                 "int4_scale": (np.asarray(self.int4_scale)
+                                if self.int4_vector else self.int4_scale)}
         with open(os.path.join(path, "ivf.pkl"), "wb") as f:
             pickle.dump(extra, f)
 

@@ -161,8 +161,9 @@ class MeshShardedIVF:
             assert (sub.refine_codes is not None) == has_refine
             assert bool(sub.sq4) == self.sq4, "mixed SQ4/SQ8 shards"
             if self.sq4:
-                assert (sub.int4_offset, sub.int4_scale) == (
-                    self.int4_offset, self.int4_scale), \
+                assert (np.array_equal(sub.int4_offset, self.int4_offset)
+                        and np.array_equal(sub.int4_scale,
+                                           self.int4_scale)), \
                     "shards disagree on the int4 affine"
 
         def stack(get, pad_rows=None, pad_val=0):
@@ -217,6 +218,7 @@ class MeshShardedIVF:
         n = codes.shape[0]
         per = (n + s - 1) // s
         subs, bases = [], []
+        ranges = MeshShardedIVF._shared_int4_ranges(codes, cfg, offset, scale)
         for i in range(s):
             lo, hi = i * per, min((i + 1) * per, n)
             assert lo < hi, f"more shards ({s}) than rows ({n})"
@@ -230,11 +232,31 @@ class MeshShardedIVF:
                 balance_factor=cfg.balance_factor,
                 two_level_clusters=cfg.two_level_clusters,
                 assign_probe=cfg.assign_probe,
-                prefer_union_batch=cfg.prefer_union_batch)
+                prefer_union_batch=cfg.prefer_union_batch,
+                int4_ranges=ranges, sq4_train_ranges=cfg.sq4_train_ranges)
             subs.append(IVFIndex.build(codes[lo:hi], sub_cfg, offset=offset,
                                        scale=scale, verbose=verbose))
             bases.append(lo)
         return MeshShardedIVF(subs, bases, mesh, axis=axis)
+
+    @staticmethod
+    def _shared_int4_ranges(codes, cfg, offset, scale):
+        """Sharded SQ4 builds must share ONE trained int4 contract (the
+        collective merge compares scores across shards); train it once on
+        a global subsample instead of per shard."""
+        if cfg.fine_quant != "SQ4":
+            return getattr(cfg, "int4_ranges", None)
+        if getattr(cfg, "int4_ranges", None) is not None:
+            return cfg.int4_ranges
+        if not getattr(cfg, "sq4_train_ranges", True):
+            return None
+        from densephrases_tpu.ops.quant import train_int4_ranges
+
+        sub = np.ascontiguousarray(
+            codes[:: max(len(codes) // 131072, 1)])
+        sub_f = (sub.astype(np.float32) / scale + offset
+                 if sub.dtype == np.int8 else sub.astype(np.float32))
+        return train_int4_ranges(sub_f)
 
     def _build_fn(self, top_k: int, nprobe: int, batch: int):
         from densephrases_tpu.parallel import shard_map_compat
@@ -243,8 +265,18 @@ class MeshShardedIVF:
         # SQ4 codes are packed nibbles: score with the int4 affine
         # (IVFIndex.search_union does the same, ivf.py)
         sq4 = self.sq4
-        offset, scale = ((self.int4_offset, self.int4_scale) if sq4
-                         else (self.offset, self.scale))
+        i4_vec = sq4 and getattr(self, "int4_vector",
+                                 np.ndim(self.int4_offset) > 0)
+        if i4_vec:
+            # trained per-dim contract: fold the scale vector into the
+            # query and the bias into a vector offset (see
+            # IVFIndex._scan_contract); scan scale stays 1.0
+            i4_scale_v = jnp.asarray(self.int4_scale, jnp.float32)
+            offset = i4_scale_v * jnp.asarray(self.int4_offset, jnp.float32)
+            scale = jnp.float32(1.0)
+        else:
+            offset, scale = ((self.int4_offset, self.int4_scale) if sq4
+                             else (self.offset, self.scale))
         cap, cfg = self.cap, self.cfg
         shard_rows = self.shard_rows
         is_pq = self.pq_books is not None
@@ -267,10 +299,13 @@ class MeshShardedIVF:
             rot = None if rotation is None else rotation[0]
             books = None if pq_books is None else pq_books[0]
             refine = None if refine_codes is None else refine_codes[0]
-            q_rot = queries if rot is None else queries @ rot
+            if i4_vec:
+                q_rot = queries / i4_scale_v
+            else:
+                q_rot = queries if rot is None else queries @ rot
             common = (queries, q_rot, centroids, list_offsets, codes,
-                      row_perm, books, refine, jnp.float32(offset),
-                      jnp.float32(scale), nv)
+                      row_perm, books, refine, jnp.asarray(offset),
+                      jnp.asarray(scale), nv)
             if use_union:
                 vals, ids = _union_scan(*common, top_k=top_k, nprobe=nprobe,
                                         cap=cap, group=group, scan_k=scan_k,

@@ -238,10 +238,15 @@ class TieredIVF:
         self.offset = float(offset)
         self.scale = float(scale)
         self.sq4 = bool(sq4)
-        self.int4_offset = float(INT4_OFFSET if int4_offset is None
-                                 else int4_offset)
-        self.int4_scale = float(INT4_SCALE if int4_scale is None
-                                else int4_scale)
+        i4o = INT4_OFFSET if int4_offset is None else int4_offset
+        i4s = INT4_SCALE if int4_scale is None else int4_scale
+        # scalar = fixed legacy contract; [D] vectors = trained per-dim
+        # ranges (ops/quant.train_int4_ranges)
+        self.int4_vector = np.ndim(i4o) > 0
+        self.int4_offset = np.asarray(i4o, np.float32) if self.int4_vector \
+            else float(i4o)
+        self.int4_scale = np.asarray(i4s, np.float32) if self.int4_vector \
+            else float(i4s)
         self.block_rows = int(block_rows)
         self.nlist = int(self.list_offsets.shape[0] - 1)
         self.n_total = int(self.list_offsets[-1])
@@ -336,10 +341,19 @@ class TieredIVF:
         member[np.arange(b)[:, None], np.searchsorted(uniq, probe_np)] = 1
         member_dev = jax.device_put(member)
 
-        off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
-                   else (self.offset, self.scale))
-        qsum = queries.sum(-1) * off
-        qbf = queries.astype(jnp.bfloat16)
+        if self.sq4 and self.int4_vector:
+            # trained per-dim contract: fold the scale vector into the
+            # query, the per-dim bias into qsum; block scale stays 1.0
+            i4s = jnp.asarray(self.int4_scale)
+            q_sc = queries / i4s
+            qsum = (q_sc * (i4s * jnp.asarray(self.int4_offset))).sum(-1)
+            qbf = q_sc.astype(jnp.bfloat16)
+            sc = 1.0
+        else:
+            off, sc = ((self.int4_offset, self.int4_scale) if self.sq4
+                       else (self.offset, self.scale))
+            qsum = queries.sum(-1) * off
+            qbf = queries.astype(jnp.bfloat16)
         br = self.block_rows
         cand_vals, cand_ids = [], []
         blk = np.empty((br, self._codes.shape[1]), np.int8)

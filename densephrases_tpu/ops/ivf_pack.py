@@ -161,10 +161,10 @@ def _topk2(s, k: int):
     jax.jit, static_argnames=("top_k", "nprobe", "cap", "budgets", "n_real",
                               "sq4", "interpret", "exact_topk"))
 def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
-                      offset, scale, nlist_valid=None, *, top_k: int,
-                      nprobe: int, cap: int, budgets, n_real: int,
-                      sq4: bool = False, interpret: bool = False,
-                      exact_topk: bool = True):
+                      offset, scale, nlist_valid=None, q_score=None, *,
+                      top_k: int, nprobe: int, cap: int, budgets,
+                      n_real: int, sq4: bool = False,
+                      interpret: bool = False, exact_topk: bool = True):
     """One-dispatch IVF search with exact-length list reads.
 
     q_raw [B, D] f32; codes [N_pad, Dc] int8 sorted by list, N_pad % 32 == 0
@@ -173,11 +173,17 @@ def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
     pack_budget_table sum, which never overflows); earlier tiers are
     cheap-case estimates selected by a lax.cond on the batch's actual
     block total. offset/scale: the affine contract of the STORED codes
-    (int8 contract for SQ8, int4 contract for SQ4).
+    (int8 contract for SQ8, int4 contract for SQ4). q_score (optional):
+    scoring-space queries when they differ from the probe-space ones —
+    the trained per-dim int4 contract pre-divides queries by the scale
+    vector and passes ``offset`` as the matching per-dim bias vector
+    (scale then 1.0); probing always uses the TRUE q_raw.
     Returns (vals [B,K] f32, gids [B,K]).
     """
     if isinstance(budgets, int):
         budgets = (budgets,)
+    if q_score is None:
+        q_score = q_raw
     b, d = q_raw.shape
     nlist = centroids.shape[0]
 
@@ -216,8 +222,10 @@ def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
 
     bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
     q_bf = jnp.zeros((bp, d), jnp.bfloat16).at[:b].set(
-        q_raw.astype(jnp.bfloat16))
-    qsum = q_raw.sum(-1) * offset
+        q_score.astype(jnp.bfloat16))
+    # offset may be a per-dim vector (trained int4 ranges); reduces to
+    # q.sum * offset for scalars
+    qsum = (q_score * offset).sum(-1)
 
     def scan_at(budget: int):
         """Pack + score + top-k at one static block budget."""

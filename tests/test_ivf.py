@@ -253,13 +253,19 @@ def test_mesh_sharded_ivf_collective(fine_quant, batch):
 
 
 def _rebuild_subs(codes, cfg):
-    """Build the same per-shard sub-indexes MeshShardedIVF.build makes."""
+    """Build the same per-shard sub-indexes MeshShardedIVF.build makes
+    (including the globally-shared trained int4 contract for SQ4)."""
     from dataclasses import replace
 
+    from densephrases_tpu.index.sharded import MeshShardedIVF
+    from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE
+
+    ranges = MeshShardedIVF._shared_int4_ranges(
+        codes, cfg, DEFAULT_OFFSET, DEFAULT_SCALE)
     subs = []
     for i in range(4):
         sub_cfg = replace(cfg, num_clusters=max(cfg.num_clusters // 4, 1),
-                          seed=cfg.seed + i)
+                          seed=cfg.seed + i, int4_ranges=ranges)
         subs.append(IVFIndex.build(codes[i * 1024:(i + 1) * 1024], sub_cfg))
     return subs
 

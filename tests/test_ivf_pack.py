@@ -133,9 +133,13 @@ def test_sq4_build_and_search():
     inv = np.empty(N, np.int64)
     inv[order] = np.arange(N)
     nib = np.concatenate([packed >> 4, packed & 0xF], axis=1)[inv]
-    raw = _brute_scores(q, nib)
-    qsum = q.sum(-1).astype(np.float32) * INT4_OFFSET
-    brute = raw / INT4_SCALE + qsum[:, None]
+    # mirror the kernel arithmetic for the index's (trained per-dim)
+    # contract: bf16 (q / scale) x raw nibbles, f32 accumulate, + q-dot-lo
+    i4_off = np.asarray(idx.int4_offset, np.float32)
+    i4_sc = np.asarray(idx.int4_scale, np.float32)
+    q_sc = q.astype(np.float32) / i4_sc
+    raw = _brute_scores(q_sc, nib)
+    brute = raw + (q_sc * (i4_sc * i4_off)).sum(-1)[:, None]
     want = np.sort(brute, axis=1)[:, ::-1][:, :20]
     np.testing.assert_allclose(vals, want, atol=1e-3, rtol=0)
     got = np.take_along_axis(brute, gids.astype(np.int64), axis=1)

@@ -56,3 +56,66 @@ def test_int4_round_trip():
     assert back.shape == x.shape
     # Max error = half a step of the coarse int4 grid.
     assert np.abs(back - x).max() <= 0.5 / 2.3 + 1e-6
+
+
+def test_train_int4_ranges_improves_recall():
+    """Trained per-dim ranges must beat the fixed global affine on
+    clustered data whose range mismatches the legacy contract."""
+    import numpy as np
+
+    from densephrases_tpu.ops.quant import (
+        INT4_OFFSET,
+        INT4_SCALE,
+        train_int4_ranges,
+    )
+
+    rng = np.random.default_rng(0)
+    centers = rng.normal(-2, 1, (64, 64)).astype(np.float32)
+    x = (centers[rng.integers(0, 64, 8000)]
+         + 0.3 * rng.normal(size=(8000, 64))).astype(np.float32)
+    q = x[:16] + 0.05 * rng.normal(size=(16, 64)).astype(np.float32)
+    truth = np.argsort(-(q @ x.T), axis=1)[:, :20]
+
+    def recall(lo, sc):
+        c = np.clip(np.round((x - lo) * sc), 0, 15)
+        xr = c / sc + lo
+        ids = np.argsort(-(q @ xr.T), axis=1)[:, :20]
+        return np.mean([len(set(a) & set(b)) / 20
+                        for a, b in zip(ids, truth)])
+
+    lo, sc = train_int4_ranges(x)
+    assert lo.shape == (64,) and sc.shape == (64,)
+    r_fixed = recall(np.float32(INT4_OFFSET), np.float32(INT4_SCALE))
+    r_train = recall(lo, sc)
+    assert r_train > r_fixed + 0.05, (r_fixed, r_train)
+
+
+def test_sq4_trained_vs_legacy_contract_recall():
+    """End-to-end: an SQ4 index built with trained ranges must beat the
+    legacy fixed contract on recall vs the int8 ground truth."""
+    import numpy as np
+
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.ops.quant import float_to_int8, int8_to_float
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(-2, 1, (32, 128)).astype(np.float32)
+    x = (centers[rng.integers(0, 32, 4000)]
+         + 0.3 * rng.normal(size=(4000, 128))).astype(np.float32)
+    codes = float_to_int8(x)
+    q = int8_to_float(codes[:8]) + 0.02 * rng.normal(
+        size=(8, 128)).astype(np.float32)
+    truth = np.argsort(-(q @ int8_to_float(codes).T), axis=1)[:, :10]
+
+    def recall(idx):
+        _, ids = idx.search_union(q, top_k=10, nprobe=8)
+        return np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                        for a, b in zip(ids, truth)])
+
+    cfg_t = IVFConfig(num_clusters=8, fine_quant="SQ4", kmeans_iters=3)
+    cfg_l = IVFConfig(num_clusters=8, fine_quant="SQ4", kmeans_iters=3,
+                      sq4_train_ranges=False)
+    r_train = recall(IVFIndex.build(codes, cfg_t))
+    r_legacy = recall(IVFIndex.build(codes, cfg_l))
+    assert r_train >= r_legacy, (r_legacy, r_train)
+    assert r_train > 0.55, r_train
