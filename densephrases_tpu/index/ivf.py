@@ -85,7 +85,8 @@ def _round_up(x: int, m: int) -> int:
                    static_argnames=("top_k", "nprobe", "cap", "scan_k"))
 def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                  pq_books, refine_codes, offset, scale, nlist_valid=None, *,
-                 top_k: int, nprobe: int, cap: int, scan_k: int):
+                 top_k: int, nprobe: int, cap: int, scan_k: int,
+                 pq_residual: bool = False):
     """Per-probe IVF scan (single-query / tiny-batch path).
 
     nlist_valid (optional device scalar): number of REAL centroids — rows
@@ -134,6 +135,13 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
             oh = (cand[..., None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
             s = jnp.einsum("bmk,bcmk->bc", lut_bf, oh,
                            preferred_element_type=jnp.float32)
+            if pq_residual:
+                # residual codes: add back the exact q·centroid term in f32
+                # (the bf16 probe scores carry ~2^-9 relative error — a
+                # per-list bias that would shuffle cross-list candidate
+                # ranking at these score gaps)
+                c_sel = jnp.take(centroids, lists, axis=0)  # [B, D]
+                s = s + jnp.sum(q_raw * c_sel, axis=-1)[:, None]
         else:
             s = jnp.einsum("bd,bcd->bc", q_bf, cand.astype(jnp.bfloat16),
                            preferred_element_type=jnp.float32)
@@ -171,11 +179,11 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
 
 @functools.partial(jax.jit,
                    static_argnames=("top_k", "nprobe", "cap", "group",
-                                    "scan_k", "sq4"))
+                                    "scan_k", "sq4", "pq_residual"))
 def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                 pq_books, refine_codes, offset, scale, nlist_valid=None, *,
                 top_k: int, nprobe: int, cap: int, group: int, scan_k: int,
-                sq4: bool = False):
+                sq4: bool = False, pq_residual: bool = False):
     """Batched union scan, entirely on device (no host round-trips).
 
     Probe all queries, dedupe the probed lists with a device sort (duplicates
@@ -236,6 +244,16 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
             s = jax.lax.dot_general(
                 flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [B, G*cap]
+            if pq_residual:
+                # residual codes: the LUT scored q_rot·(x-c)R; add the
+                # exact q·centroid term in f32 (bf16 probe scores carry a
+                # per-list bias too large for these score gaps)
+                c_sel = jnp.take(centroids, lic, axis=0)  # [G, D] f32
+                cc = jax.lax.dot_general(
+                    q_raw, c_sel, dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [B, G]
+                s = (s.reshape(b, group, cap)
+                     + cc[:, :, None]).reshape(b, group * cap)
         else:
             if sq4:
                 # packed nibbles: high nibble = first half of the feature
@@ -575,6 +593,16 @@ class IVFConfig:
     # SQ4: train per-dim int4 ranges from the sample (FAISS QT_4bit
     # parity) instead of the fixed global INT4_OFFSET/INT4_SCALE affine
     sq4_train_ranges: bool = True
+    # PQ/OPQ codes encode the RESIDUAL to the assigned coarse centroid
+    # (FAISS IVFPQ by_residual=True — the reference's IndexIVFPQ default,
+    # build_phrase_index.py:109-116). Full-vector PQ error swamps the
+    # within-list score gaps: measured recall@20 0.18 at 10.5M/OPQ96
+    # because all probed rows share the query's neighborhood and the
+    # codes spend their bits on the common centroid component. Residual
+    # encoding removes that component; search adds the exact f32
+    # q·centroid term back per probed list. Old pickled configs lack the
+    # field and load as False (their codes are full-vector).
+    pq_residual: bool = True
     # explicit (offset[D], scale[D]) int4 contract — overrides training;
     # sharded builds use this to share ONE contract across shards
     int4_ranges: Optional[tuple] = None
@@ -636,6 +664,12 @@ class IVFIndex:
         self.n_total = n_total
         self.refine_codes = (None if refine_codes is None
                              else jnp.asarray(refine_codes))  # [N, D] int8
+        # residual-encoded PQ codes (search must add q·centroid back).
+        # __dict__.get, NOT getattr: a pre-residual pickled cfg lacks the
+        # INSTANCE attribute and getattr would fall through to the class
+        # default (True), silently mis-scoring legacy full-vector codes
+        self.pq_residual = (pq is not None
+                            and bool(cfg.__dict__.get("pq_residual", False)))
         # host-side references (when constructed from host arrays): lets
         # save() write from host memory instead of pulling the device
         # copy back over a slow D2H link; dropped after the first save
@@ -708,7 +742,7 @@ class IVFIndex:
         # encode the corpus by STREAMING int8 blocks through the device
         # (dequant + rotate + assign fused on device; see ops/pq.pq_encode)
 
-        sample, s_off, s_scale = IVFIndex._train_sample(
+        sample, s_off, s_scale, s_sel = IVFIndex._train_sample(
             codes_int8, cfg, offset, scale)
 
         # --- coarse quantizer. Flat Lloyd for moderate nlist; two-level
@@ -825,9 +859,9 @@ class IVFIndex:
                     np.asarray(assign))
             with open(os.path.join(coarse_cache, "coarse.done"), "w") as f:
                 f.write("ok\n")
-        return IVFIndex._finish_build(codes_int8, cfg, centroids, assign,
-                                      offset, scale, verbose,
-                                      sample_cache=(sample, s_off, s_scale))
+        return IVFIndex._finish_build(
+            codes_int8, cfg, centroids, assign, offset, scale, verbose,
+            sample_cache=(sample, s_off, s_scale, s_sel))
 
     @staticmethod
     def _train_sample(codes_int8: np.ndarray, cfg: IVFConfig, offset: float,
@@ -856,10 +890,10 @@ class IVFIndex:
             norms = np.asarray(jnp.sqrt(jnp.sum(
                 (sv.astype(jnp.float32) / s_scale + s_off) ** 2, axis=1)))
             del sv
-            kept = sample[norms < cfg.norm_th]
-            if len(kept) >= cfg.num_clusters:
-                sample = kept
-        return sample, s_off, s_scale
+            kept = norms < cfg.norm_th
+            if int(kept.sum()) >= cfg.num_clusters:
+                sample, sel = sample[kept], sel[kept]
+        return sample, s_off, s_scale, sel
 
     @staticmethod
     def _finish_build(codes_int8: np.ndarray, cfg: IVFConfig,
@@ -870,10 +904,10 @@ class IVFIndex:
         """Fine quantization + list layout, given a trained coarse quantizer
         (the second half of build; entry point for coarse_cache hits).
 
-        sample_cache: optional (sample, s_off, s_scale) triple from build()
-        — the memmap sample gather costs minutes at 10M rows on the slow
-        hosts this targets, so the coarse phase's sample is reused rather
-        than re-gathered for PQ/OPQ training."""
+        sample_cache: optional (sample, s_off, s_scale, sel) tuple from
+        build() — the memmap sample gather costs minutes at 10M rows on
+        the slow hosts this targets, so the coarse phase's sample is
+        reused rather than re-gathered for PQ/OPQ training."""
         n, d = codes_int8.shape
         # --- fine quantization. Training consumes the int8-resident sample
         # (one upload, dequant on device); the corpus encode streams int8
@@ -882,25 +916,39 @@ class IVFIndex:
         pq = None
         i4_off, i4_sc = INT4_OFFSET, INT4_SCALE
         fq = cfg.fine_quant
+        # residual encoding (FAISS IVFPQ by_residual parity; see IVFConfig).
+        # __dict__.get so a legacy unpickled cfg (no instance attr) rebuilds
+        # full-vector rather than inheriting the new class default
+        resid = bool(cfg.__dict__.get("pq_residual", False)) and (
+            fq.startswith("OPQ") or fq.startswith("PQ"))
+        r_cents = np.asarray(centroids, np.float32) if resid else None
         if fq.startswith("OPQ"):
             m = int(fq[3:])
-            sample, s_off, s_scale = (sample_cache or IVFIndex._train_sample(
-                codes_int8, cfg, offset, scale))
+            sample, s_off, s_scale, sel = (
+                sample_cache or IVFIndex._train_sample(
+                    codes_int8, cfg, offset, scale))
             opq = train_opq(sample, m, niter=cfg.opq_iters,
                             pq_iters=cfg.pq_iters, seed=cfg.seed,
-                            verbose=verbose, offset=s_off, scale=s_scale)
+                            verbose=verbose, offset=s_off, scale=s_scale,
+                            sub_cents=r_cents,
+                            sub_ids=assign[sel] if resid else None)
             rotation = opq.rotation
             pq = opq.pq
             fine_codes = pq_encode(pq, codes_int8, offset=offset,
-                                   scale=scale, rotation=rotation)
+                                   scale=scale, rotation=rotation,
+                                   cents=r_cents,
+                                   assign=assign if resid else None)
         elif fq.startswith("PQ"):
             m = int(fq[2:])
-            sample, s_off, s_scale = (sample_cache or IVFIndex._train_sample(
-                codes_int8, cfg, offset, scale))
+            sample, s_off, s_scale, sel = (
+                sample_cache or IVFIndex._train_sample(
+                    codes_int8, cfg, offset, scale))
             pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed,
-                          offset=s_off, scale=s_scale)
+                          offset=s_off, scale=s_scale, sub_cents=r_cents,
+                          sub_ids=assign[sel] if resid else None)
             fine_codes = pq_encode(pq, codes_int8, offset=offset,
-                                   scale=scale)
+                                   scale=scale, cents=r_cents,
+                                   assign=assign if resid else None)
         elif fq == "SQ8":
             fine_codes = codes_int8
         elif fq == "SQ4":
@@ -913,7 +961,7 @@ class IVFIndex:
                 # global affine clips tails / wastes levels — measured
                 # +0.16 recall@20 at 10.5M. Quantiles on a bounded
                 # subsample of the training sample.
-                sample, s_off, s_scale = (
+                sample, s_off, s_scale, _ = (
                     sample_cache or IVFIndex._train_sample(
                         codes_int8, cfg, offset, scale))
                 sub = np.ascontiguousarray(
@@ -1018,7 +1066,7 @@ class IVFIndex:
                 self.codes, self.row_perm, self.pq_books, self.refine_codes,
                 off, sc, top_k=top_k,
                 nprobe=nprobe, cap=self.cap, group=group, scan_k=scan_k,
-                sq4=self.sq4)
+                sq4=self.sq4, pq_residual=self.pq_residual)
         if vals.shape[1] < top_k:  # corpus smaller than top_k: pad
             pad = top_k - vals.shape[1]
             vals = jnp.concatenate(
@@ -1079,7 +1127,8 @@ class IVFIndex:
                 self.centroids, self.list_offsets, self.codes,
                 self.row_perm, self.pq_books, self.refine_codes,
                 jnp.float32(self.offset), jnp.float32(self.scale),
-                top_k=top_k, nprobe=nprobe, cap=self.cap, scan_k=scan_k)
+                top_k=top_k, nprobe=nprobe, cap=self.cap, scan_k=scan_k,
+                pq_residual=self.pq_residual)
 
         return searcher
 
@@ -1183,7 +1232,7 @@ class IVFIndex:
                         q, q_rot, cents, loffs, codes, perm, books, refine,
                         off, sc, top_k=top_k,
                         nprobe=nprobe, cap=cap, group=group, scan_k=scan_k,
-                        sq4=sq4)
+                        sq4=sq4, pq_residual=self.pq_residual)
 
             @jax.jit
             def run(q, cents, loffs, codes, perm, books, refine):

@@ -155,10 +155,16 @@ class MeshShardedIVF:
         self.sq4 = bool(sub_indexes[0].sq4)
         self.int4_offset = sub_indexes[0].int4_offset
         self.int4_scale = sub_indexes[0].int4_scale
+        # residual-encoded PQ (shards built under one cfg agree; the scan
+        # must add q·centroid back per probed list)
+        self.pq_residual = bool(getattr(sub_indexes[0], "pq_residual",
+                                        False))
         for sub in sub_indexes:
             assert (sub.pq is not None) == is_pq, "mixed fine_quant shards"
             assert (sub.rotation is not None) == has_rot
             assert (sub.refine_codes is not None) == has_refine
+            assert bool(getattr(sub, "pq_residual", False)) \
+                == self.pq_residual, "mixed residual/full-vector PQ shards"
             assert bool(sub.sq4) == self.sq4, "mixed SQ4/SQ8 shards"
             if self.sq4:
                 assert (np.array_equal(sub.int4_offset, self.int4_offset)
@@ -280,6 +286,7 @@ class MeshShardedIVF:
         cap, cfg = self.cap, self.cfg
         shard_rows = self.shard_rows
         is_pq = self.pq_books is not None
+        pq_res = is_pq and self.pq_residual
         do_refine = is_pq and self.refine_codes is not None
         scan_k = (min(top_k * cfg.refine_factor, max(self.n_total, 1))
                   if do_refine else min(top_k, max(self.n_total, 1)))
@@ -309,10 +316,11 @@ class MeshShardedIVF:
             if use_union:
                 vals, ids = _union_scan(*common, top_k=top_k, nprobe=nprobe,
                                         cap=cap, group=group, scan_k=scan_k,
-                                        sq4=sq4)
+                                        sq4=sq4, pq_residual=pq_res)
             else:
                 vals, ids = _probe_score(*common, top_k=top_k, nprobe=nprobe,
-                                         cap=cap, scan_k=scan_k)
+                                         cap=cap, scan_k=scan_k,
+                                         pq_residual=pq_res)
             # int32 gids: without x64, int64 silently truncates anyway; the
             # tiered/store layer re-widens on host for >2^31-row corpora
             base = jax.lax.axis_index(axis).astype(jnp.int32) * shard_rows

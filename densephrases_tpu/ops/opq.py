@@ -95,12 +95,17 @@ def _rotate_dev(xd, r):
 
 def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
               seed: int = 0, verbose: bool = False, offset: float = 0.0,
-              scale: float = 1.0, row_chunk: int = 4096) -> OPQ:
+              scale: float = 1.0, row_chunk: int = 4096,
+              sub_cents: np.ndarray = None,
+              sub_ids: np.ndarray = None) -> OPQ:
     """Train rotation + codebooks (niter=10 parity with the reference's
     OPQMatrix default, build_phrase_index.py:114).
 
     x: training sample — f32 rows, or RAW int8 codes with the
-    (offset, scale) dequant contract (uploaded once as int8)."""
+    (offset, scale) dequant contract (uploaded once as int8).
+    sub_cents/sub_ids (optional): coarse centroids [nlist, D] f32 + each
+    sample row's assignment [N] — train on RESIDUALS x − c (IVF
+    by_residual), subtracted on device (no host f32 sample copy)."""
     n, d = x.shape
     rng = np.random.default_rng(seed)
     # init: random orthogonal rotation (FAISS inits from random rotation too)
@@ -111,9 +116,15 @@ def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
     rc = min(row_chunk, max(256, n))
     pad = (-n) % rc
     if pad:  # resample pad rows (double weight — harmless for a quantizer)
-        x = np.concatenate([x, x[rng.integers(0, n, pad)]])
+        pad_sel = rng.integers(0, n, pad)
+        x = np.concatenate([x, x[pad_sel]])
+        if sub_ids is not None:
+            sub_ids = np.concatenate([sub_ids, sub_ids[pad_sel]])
     xd = _dequant_dev(jnp.asarray(x), jnp.float32(offset),
                       jnp.float32(scale))  # [N, D] f32, device-resident
+    if sub_ids is not None:
+        xd = xd - jnp.take(jnp.asarray(sub_cents, jnp.float32),
+                           jnp.asarray(sub_ids, jnp.int32), axis=0)
     n_eff = xd.shape[0]
 
     books = None

@@ -81,11 +81,17 @@ def _pq_assign_stream(y, books, *, row_chunk: int = _ROW_CHUNK):
     return out.reshape(n, m)
 
 
-@functools.partial(jax.jit, static_argnames=("row_chunk", "rotate"))
-def _encode_chunk(xb, rotation, books, offset, scale, *,
-                  row_chunk: int = _ROW_CHUNK, rotate: bool = False):
-    """One streamed encode block: dequant (+rotate) + PQ-assign, fused."""
+@functools.partial(jax.jit,
+                   static_argnames=("row_chunk", "rotate", "residual"))
+def _encode_chunk(xb, rotation, books, offset, scale, cents, ids, *,
+                  row_chunk: int = _ROW_CHUNK, rotate: bool = False,
+                  residual: bool = False):
+    """One streamed encode block: dequant (−centroid) (+rotate) +
+    PQ-assign, fused. residual: subtract each row's assigned coarse
+    centroid before rotating (IVF by_residual encoding)."""
     y = _dequant_dev(xb, offset, scale)
+    if residual:
+        y = y - jnp.take(cents, ids, axis=0)
     if rotate:
         mdt = _mm_dtype()
         y = jnp.dot(y.astype(mdt), rotation.astype(mdt),
@@ -95,12 +101,16 @@ def _encode_chunk(xb, rotation, books, offset, scale, *,
 
 def train_pq(x: np.ndarray, m: int, nbits: int = 8, iters: int = 10,
              seed: int = 0, offset: float = 0.0, scale: float = 1.0,
-             row_chunk: int = _ROW_CHUNK) -> PQCodebook:
+             row_chunk: int = _ROW_CHUNK, sub_cents: np.ndarray = None,
+             sub_ids: np.ndarray = None) -> PQCodebook:
     """Train M per-subspace codebooks (ref PQ training inside faiss,
     build_phrase_index.py:124-133).
 
     x: training rows — f32, or RAW int8 codes with the (offset, scale)
     dequant contract (one int8 upload; dequantization happens on device).
+    sub_cents/sub_ids (optional): coarse centroids [nlist, D] f32 + each
+    row's assignment [N] — train on RESIDUALS x − c (IVF by_residual),
+    subtracted on device so no host f32 copy of the sample exists.
     All M sub-k-means run as ONE batched streamed Lloyd on device
     (ops/kmeans._batched_lloyd_stream): no per-subspace host loop, no
     per-subspace re-upload of the sample."""
@@ -113,8 +123,14 @@ def train_pq(x: np.ndarray, m: int, nbits: int = 8, iters: int = 10,
     rc = min(row_chunk, max(256, n))
     pad = (-n) % rc
     if pad:  # resample pad rows (double weight — harmless for a quantizer)
-        x = np.concatenate([x, x[rng.integers(0, n, pad)]])
+        pad_sel = rng.integers(0, n, pad)
+        x = np.concatenate([x, x[pad_sel]])
+        if sub_ids is not None:
+            sub_ids = np.concatenate([sub_ids, sub_ids[pad_sel]])
     y = _dequant_dev(jnp.asarray(x), jnp.float32(offset), jnp.float32(scale))
+    if sub_ids is not None:
+        y = y - jnp.take(jnp.asarray(sub_cents, jnp.float32),
+                         jnp.asarray(sub_ids, jnp.int32), axis=0)
     books = _train_pq_device(y, m, ksub, iters, rng, row_chunk=rc)
     return PQCodebook(np.asarray(books))
 
@@ -138,20 +154,26 @@ def _train_pq_device(y, m: int, ksub: int, iters: int, rng,
 
 def pq_encode(pq: PQCodebook, x: np.ndarray, offset: float = 0.0,
               scale: float = 1.0, rotation: np.ndarray = None,
-              block: int = 1 << 19, row_chunk: int = _ROW_CHUNK
+              block: int = 1 << 19, row_chunk: int = _ROW_CHUNK,
+              cents: np.ndarray = None, assign: np.ndarray = None
               ) -> np.ndarray:
     """Encode rows → uint8 codes [N, M], streamed.
 
     x: f32 rows, or RAW int8 with the (offset, scale) contract. rotation
     (optional, [D, D]): applied on device AFTER dequant — the OPQ encode
-    path. The corpus streams through the device in `block`-row int8/f32
-    chunks; at no point does an O(corpus) float (or rotated) copy exist on
-    the host (the round-2 build materialized both — at reference scale
-    that is terabytes; ref builds whole-corpus too: add_to_index
-    ships float32 batches, build_phrase_index.py:224-227)."""
+    path. cents/assign (optional): coarse centroids + per-row assignment
+    — encode RESIDUALS x − c (IVF by_residual), subtracted on device
+    before the rotation. The corpus streams through the device in
+    `block`-row int8/f32 chunks; at no point does an O(corpus) float (or
+    rotated) copy exist on the host (the round-2 build materialized both
+    — at reference scale that is terabytes; ref builds whole-corpus too:
+    add_to_index ships float32 batches, build_phrase_index.py:224-227)."""
     n, d = x.shape
     books = jnp.asarray(pq.codebooks)
     rot = None if rotation is None else jnp.asarray(rotation, jnp.float32)
+    resid = assign is not None
+    cents_dev = (jnp.asarray(cents, jnp.float32) if resid
+                 else jnp.zeros((1, 1), jnp.float32))
     out = np.empty((n, pq.m), np.uint8)
     rc = min(row_chunk, max(256, n))
     for b0 in range(0, n, block):
@@ -160,10 +182,16 @@ def pq_encode(pq: PQCodebook, x: np.ndarray, offset: float = 0.0,
         pad = (-c) % rc
         if pad:
             xb = np.concatenate([xb, np.zeros((pad, d), xb.dtype)])
+        if resid:
+            ids = np.zeros(len(xb), np.int32)
+            ids[:c] = assign[b0:b0 + c]
+        else:
+            ids = np.zeros(1, np.int32)
         codes = _encode_chunk(
             jnp.asarray(xb), rot if rot is not None else jnp.zeros((1, 1)),
             books, jnp.float32(offset), jnp.float32(scale),
-            row_chunk=rc, rotate=rot is not None)
+            cents_dev, jnp.asarray(ids),
+            row_chunk=rc, rotate=rot is not None, residual=resid)
         out[b0:b0 + c] = np.asarray(codes[:c])
     return out
 

@@ -163,6 +163,74 @@ def test_ivf_two_level_recall_vs_exact():
     assert recall >= 0.9, f"two-level recall@10 {recall}"
 
 
+def test_pq_residual_beats_full_vector():
+    """Residual PQ (FAISS IVFPQ by_residual parity) must dominate
+    full-vector PQ where it matters: tightly clustered data, where probed
+    rows share the query's neighborhood and full-vector codes spend all
+    their bits on the common centroid component. Refine is disabled so
+    the assertion measures raw ADC ranking quality.
+
+    ref: the reference's IndexIVFPQ encodes residuals by default
+    (build_phrase_index.py:109-116)."""
+    rng = np.random.default_rng(21)
+    centers = rng.normal(0, 3.0, (48, 64)).astype(np.float32)
+    idx = rng.integers(0, 48, 6000)
+    x = (centers[idx] + 0.08 * rng.normal(size=(6000, 64))).astype(np.float32)
+    codes = float_to_int8(x)
+    queries = (centers[rng.integers(0, 48, 16)]
+               + 0.08 * rng.normal(size=(16, 64))).astype(np.float32)
+
+    flat = FlatIndex(codes, chunk=512)
+    _, exact_ids = flat.search(queries, top_k=10)
+
+    def recall(pq_residual):
+        cfg = IVFConfig(num_clusters=48, fine_quant="OPQ8", kmeans_iters=6,
+                        pq_iters=4, opq_iters=2, refine_factor=1,
+                        pq_residual=pq_residual)
+        ivf = IVFIndex.build(codes, cfg)
+        assert ivf.pq_residual == pq_residual
+        _, ids = ivf.search(queries, top_k=10, nprobe=12)
+        return np.mean([
+            len(set(e.tolist()) & set(i.tolist())) / 10
+            for e, i in zip(exact_ids, ids)
+        ])
+
+    r_res, r_full = recall(True), recall(False)
+    # measured on this seed: residual 0.47 vs full-vector 0.15 — the gaps
+    # here sit at the int8 noise floor (σ_cluster 0.08 ≈ 1.6 int8 steps),
+    # so raw ADC can't reach 1.0; the point is the 3× dominance
+    assert r_res >= r_full + 0.15, (r_res, r_full)
+    assert r_res >= 0.4, f"residual OPQ raw-ADC recall@10 {r_res}"
+
+
+def test_pq_residual_save_load_and_legacy_cfg(tmp_path):
+    """The residual flag must survive save/load via the pickled cfg, and
+    a cfg WITHOUT the field (pre-residual pickle) must score full-vector."""
+    x = _clustered_data(1500, 32, seed=22)
+    codes = float_to_int8(x)
+    queries = _clustered_data(6, 32, seed=23)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=24, fine_quant="PQ4",
+                                          kmeans_iters=4, pq_iters=3))
+    assert ivf.pq_residual
+    v1, i1 = ivf.search(queries, top_k=5, nprobe=8)
+    ivf.save(str(tmp_path / "ivf"))
+    ivf2 = IVFIndex.load(str(tmp_path / "ivf"))
+    assert ivf2.pq_residual
+    v2, i2 = ivf2.search(queries, top_k=5, nprobe=8)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, atol=1e-4)
+
+    # legacy pickle: delete the field from the loaded cfg — must score as
+    # full-vector (no q·centroid add) rather than crash or mis-score
+    del ivf2.cfg.__dict__["pq_residual"]
+    ivf3 = IVFIndex(ivf2.cfg, np.asarray(ivf2.centroids),
+                    np.asarray(ivf2.row_perm),
+                    np.asarray(ivf2.list_offsets), np.asarray(ivf2.codes),
+                    rotation=None, pq=ivf2.pq, n_total=ivf2.n_total,
+                    refine_codes=np.asarray(ivf2.refine_codes))
+    assert not ivf3.pq_residual
+
+
 def test_ivf_save_load_round_trip(tmp_path):
     x = _clustered_data(1000, 32, seed=8)
     codes = float_to_int8(x)
