@@ -300,6 +300,168 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     return vals, gids
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "top_k", "nprobe", "scan_k", "budgets", "n_real", "chunk",
+    "pq_residual"))
+def _pq_block_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
+                   pq_books, refine_codes, offset, scale, nlist_valid=None,
+                   *, top_k: int, nprobe: int, scan_k: int, budgets: tuple,
+                   n_real: int, chunk: int = 2048,
+                   pq_residual: bool = False):
+    """Exact-length PQ union scan: block-gather + chunked LUT matmuls.
+
+    The grouped PQ union scan reads every probed list through a CAP-row
+    dynamic_slice and expands a [cap, M*256] one-hot PER LIST: at 10.5M /
+    OPQ96 (cap 2384, mean 146) that is a 16× read/expand amplification
+    across ~1024 serial scan steps — measured 1.59 s amortized per b64
+    search. This scan adopts the packed SQ8 scan's geometry (ops/ivf_pack:
+    32-row blocks covering exactly each unique probed list's extent,
+    disjoint-coverage block table, tiered static budgets picked by
+    lax.cond on the batch's actual block total) but stays in pure XLA:
+    the block rows are materialized with ONE device gather, scored in
+    fat [chunk, M*256] one-hot MXU matmuls (~90 steps instead of ~1024),
+    and reduced with an exact two-stage top-k.
+
+    Same union semantics as the packed scan: every query scores the whole
+    union of the batch's probed lists (a candidate superset — no
+    per-query membership mask), plus up-to-31 edge rows per list boundary
+    whose scores are computed with their TRUE list's centroid (row→list
+    via searchsorted), so residual scoring stays exact for them.
+
+    Ref role: the FAISS IVFPQ/OPQ inverted-list ADC scan
+    (/root/reference/densephrases/index.py:189-202; IndexIVFPQ in
+    build_phrase_index.py:109-116)."""
+    b, d = q_raw.shape
+    nlist = centroids.shape[0]
+    mdim = codes.shape[1]
+    rb = PACK_RB
+
+    # ---- probe (bf16 MXU) + f32 centroid scores for residual adjustment
+    c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
+                          centroids.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    if nlist_valid is not None:
+        c_scores = jnp.where(
+            jnp.arange(nlist)[None, :] < nlist_valid, c_scores, NEG_INF)
+    _, probe_ids = jax.lax.top_k(c_scores, nprobe)
+    if pq_residual:
+        cs32 = jnp.einsum("bd,nd->bn", q_raw, centroids,
+                          preferred_element_type=jnp.float32)
+
+    # ---- device dedup (sort + sentinel; sentinels sort last)
+    flat = jnp.sort(probe_ids.reshape(-1))
+    keep = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    uniq = jnp.sort(jnp.where(keep, flat, nlist))  # [U] ascending
+    u = uniq.shape[0]
+    ok = uniq < nlist
+    lic = jnp.minimum(uniq, nlist - 1).astype(jnp.int32)
+    offs = list_offsets[lic]
+    ends = list_offsets[lic + 1]
+    b0 = offs // rb
+    e = jnp.where(ok, (ends + rb - 1) // rb, b0)  # sentinel: 0 blocks
+    # disjoint coverage: start at max(own start block, prev list's end
+    # block) — provably complete (see ops/ivf_pack module docstring)
+    prev_e = jnp.concatenate([jnp.zeros((1,), e.dtype), e[:-1]])
+    adj_b0 = jnp.maximum(b0, prev_e)
+    nblk = jnp.maximum(e - adj_b0, 0)
+    starts = jnp.cumsum(nblk) - nblk  # exclusive prefix
+    total = starts[-1] + nblk[-1]
+
+    flat_lut = pq_lut(pq_books, q_rot).reshape(b, -1).astype(jnp.bfloat16)
+
+    def run_budget(bb: int):
+        n_rows = _round_up(bb * rb, chunk)
+        steps = n_rows // chunk
+        j = jnp.arange(bb, dtype=jnp.int32)
+        owner = jnp.clip(
+            jnp.searchsorted(starts, j, side="right") - 1, 0, u - 1)
+        valid_b = j < total
+        row0 = (adj_b0[owner] + (j - starts[owner])) * rb
+        rows = (row0[:, None]
+                + jnp.arange(rb, dtype=jnp.int32)[None, :]).reshape(-1)
+        vrow = (jnp.broadcast_to(valid_b[:, None], (bb, rb)).reshape(-1)
+                & (rows < n_real))
+        pad = n_rows - bb * rb
+        if pad:
+            rows = jnp.concatenate([rows, jnp.zeros((pad,), rows.dtype)])
+            vrow = jnp.concatenate([vrow, jnp.zeros((pad,), bool)])
+        rows = jnp.clip(rows, 0, codes.shape[0] - 1)
+        cand = jnp.take(codes, rows, axis=0)  # [n_rows, M] one gather
+        if pq_residual:
+            # TRUE owning list per row (edge rows belong to the adjacent
+            # list — their residual base must be their own centroid)
+            rlist = jnp.clip(
+                jnp.searchsorted(list_offsets, rows, side="right") - 1,
+                0, nlist - 1)
+        else:
+            rlist = jnp.zeros_like(rows)
+
+        def body(_, xs):
+            codes_ch, ids_ch, v_ch = xs
+            oh = codes_to_onehot(codes_ch)  # [chunk, M*256] bf16
+            s = jax.lax.dot_general(
+                flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [B, chunk]
+            if pq_residual:
+                s = s + jnp.take(cs32, ids_ch, axis=1)
+            return None, jnp.where(v_ch[None, :], s, NEG_INF)
+
+        _, ys = jax.lax.scan(
+            body, None,
+            (cand.reshape(steps, chunk, mdim),
+             rlist.reshape(steps, chunk), vrow.reshape(steps, chunk)))
+        # exact two-stage top-k: per-chunk winners, then across chunks
+        k1 = min(scan_k, chunk)
+        seg_v, seg_i = jax.lax.top_k(
+            ys.reshape(steps * b, chunk), k1)  # scan axis 0 = steps
+        seg_v = seg_v.reshape(steps, b, k1)
+        seg_i = (seg_i.reshape(steps, b, k1)
+                 + (jnp.arange(steps, dtype=jnp.int32) * chunk)[:, None,
+                                                                None])
+        cat_v = jnp.moveaxis(seg_v, 0, 1).reshape(b, steps * k1)
+        cat_i = jnp.moveaxis(seg_i, 0, 1).reshape(b, steps * k1)
+        k2 = min(scan_k, steps * k1)
+        vals, pos = jax.lax.top_k(cat_v, k2)
+        cols = jnp.take_along_axis(cat_i, pos, axis=1)
+        srows = jnp.take(rows, cols)  # [b, k2] sorted-row ids
+        if k2 < scan_k:  # tiny-corpus tiers: pad to the common shape
+            padn = scan_k - k2
+            vals = jnp.concatenate(
+                [vals, jnp.full((b, padn), NEG_INF)], axis=1)
+            srows = jnp.concatenate(
+                [srows, jnp.zeros((b, padn), srows.dtype)], axis=1)
+        return vals, srows
+
+    if len(budgets) == 1:
+        vals, srows = run_budget(budgets[0])
+    else:
+        # smallest sufficient tier wins; the last tier is the guard
+        def chain(i):
+            if i == len(budgets) - 1:
+                return lambda: run_budget(budgets[i])
+            return lambda: jax.lax.cond(
+                total <= budgets[i],
+                lambda: run_budget(budgets[i]), chain(i + 1))
+        vals, srows = chain(0)()
+
+    gids = row_perm[jnp.clip(srows, 0, row_perm.shape[0] - 1)]
+    if refine_codes is not None:
+        # exact int8 re-ranking in the UNROTATED space (as _union_scan)
+        cand = refine_codes[jnp.clip(gids, 0, refine_codes.shape[0] - 1)]
+        qsum_r = q_raw.sum(-1) * offset
+        s = jnp.einsum("bd,bcd->bc", q_raw.astype(jnp.bfloat16),
+                       cand.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s / scale + qsum_r[:, None]
+        s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
+        vals, pos = jax.lax.top_k(s, min(top_k, s.shape[1]))
+        gids = jnp.take_along_axis(gids, pos, axis=1)
+    else:
+        k = min(top_k, vals.shape[1])
+        vals, gids = vals[:, :k], gids[:, :k]
+    return vals, gids
+
+
 def _split_centroid(c: np.ndarray, n_extra: int, eps: float = 1e-2):
     """Geometric cluster split: n_extra ε-scaled copies of centroid c.
 
@@ -691,6 +853,9 @@ class IVFIndex:
         self.n_real = int(np.asarray(list_offsets)[-1])
         self._packed_ok = (pq is None
                            and int(self.codes.shape[0]) % PACK_RB == 0)
+        # exact-length PQ block scan (_pq_block_scan): same alignment rule
+        self._pq_block_ok = (pq is not None
+                             and int(self.codes.shape[0]) % PACK_RB == 0)
         self._pack_table = pack_budget_table(np.asarray(list_offsets),
                                              self.cap)
         # mean blocks per list: sizes the packed scan's SMALL budget tier
@@ -1047,6 +1212,24 @@ class IVFIndex:
                 budgets=self._pack_budgets(b, nprobe),
                 n_real=self.n_real, sq4=self.sq4,
                 interpret=(jax.default_backend() != "tpu"))
+        elif is_pq and self.use_packed and self._pq_block_ok:
+            # exact-length PQ block scan: one block gather + fat chunked
+            # LUT matmuls instead of ~B*nprobe serial cap-wide steps
+            b = int(queries.shape[0])
+            scan_k = (min(top_k * self.cfg.refine_factor,
+                          max(self.n_total, 1))
+                      if self.refine_codes is not None
+                      else min(top_k, max(self.n_total, 1)))
+            vals, ids = _pq_block_scan(
+                queries,
+                queries if self.rotation is None
+                else queries @ self.rotation,
+                self.centroids, self.list_offsets, self.codes,
+                self.row_perm, self.pq_books, self.refine_codes,
+                jnp.float32(self.offset), jnp.float32(self.scale),
+                top_k=top_k, nprobe=nprobe, scan_k=scan_k,
+                budgets=self._pack_budgets(b, nprobe),
+                n_real=self.n_real, pq_residual=self.pq_residual)
         else:
             q_rot = (q_score if self.sq4
                      else queries if self.rotation is None
@@ -1183,13 +1366,18 @@ class IVFIndex:
         """
         queries = jnp.asarray(queries, jnp.float32)
         nprobe = min(nprobe, int(self.centroids.shape[0]))
-        if packed is None:
+        # packed=False pins the grouped fixed-cap formulation (the read-
+        # amplification comparison) for BOTH the raw-code Pallas packed
+        # scan and the PQ block scan
+        force_grouped = packed is False
+        if packed is None or self.pq_books is not None:
             packed = (self.pq_books is None and self.use_packed
-                      and self._packed_ok)
+                      and self._packed_ok and not force_grouped)
         qs_bench, off, sc = self._scan_contract(queries)
         del qs_bench  # recomputed per perturbed query inside the loop
         b = int(queries.shape[0])
-        key = ("bench_union", bool(packed), top_k, nprobe, reps, b)
+        key = ("bench_union", bool(packed), force_grouped, top_k, nprobe,
+               reps, b)
         run = self._search_cache.get(key)
         if run is None:
             # every device array is a jit ARGUMENT: closing over multi-GB
@@ -1222,12 +1410,23 @@ class IVFIndex:
                 row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
                               else 8 * 1024 * 1024 // max(mdim, 1))
                 group = int(np.clip(row_budget // max(cap, 1), 1, 64))
+                use_pq_block = (is_pq and self.use_packed
+                                and self._pq_block_ok and not force_grouped)
+                budgets = (self._pack_budgets(b, nprobe)
+                           if use_pq_block else ())
+                n_real, pq_res = self.n_real, self.pq_residual
 
                 def one(q, cents, loffs, codes, perm, books, refine):
                     if i4_vec:
                         q_rot = q / i4_scale
                     else:
                         q_rot = q if rotation is None else q @ rotation
+                    if use_pq_block:
+                        return _pq_block_scan(
+                            q, q_rot, cents, loffs, codes, perm, books,
+                            refine, off, sc, top_k=top_k, nprobe=nprobe,
+                            scan_k=scan_k, budgets=budgets, n_real=n_real,
+                            pq_residual=pq_res)
                     return _union_scan(
                         q, q_rot, cents, loffs, codes, perm, books, refine,
                         off, sc, top_k=top_k,

@@ -403,7 +403,7 @@ def main():
         if ivf.pq_books is not None:
             qres["code_bytes"] += int(np.asarray(ivf.pq_books).nbytes)
             qres["refine"] = ivf.refine_codes is not None
-        qres["packed_ok"] = bool(ivf._packed_ok)
+        qres["packed_ok"] = bool(ivf._packed_ok or ivf._pq_block_ok)
         flush()
 
         for nprobe in probes:
@@ -427,7 +427,7 @@ def main():
                         q64, top_k=20, nprobe=nprobe, reps=args.reps),
                     args.reps, floor_ms), 2),
             }
-            if ivf._packed_ok:
+            if ivf._packed_ok or ivf._pq_block_ok:
                 # grouped (fixed-cap dynamic_slice) formulation, same
                 # probes/candidates semantics modulo the union superset —
                 # the read-amplification comparison

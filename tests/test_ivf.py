@@ -203,6 +203,63 @@ def test_pq_residual_beats_full_vector():
     assert r_res >= 0.4, f"residual OPQ raw-ADC recall@10 {r_res}"
 
 
+def test_pq_block_scan_matches_grouped():
+    """The exact-length PQ block scan must agree with the grouped union
+    scan: same probes, same LUT/residual/refine math — the block scan
+    only widens the candidate set (union superset + up-to-31 edge rows
+    per boundary), so ids overlap strongly and recall never drops."""
+    x = _clustered_data(4000, 64, seed=30)
+    codes = float_to_int8(x)
+    queries = _clustered_data(8, 64, seed=31)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=64,
+                                          fine_quant="OPQ8",
+                                          kmeans_iters=5, pq_iters=3,
+                                          opq_iters=2))
+    assert ivf._pq_block_ok
+    flat = FlatIndex(codes, chunk=512)
+    _, exact_ids = flat.search(queries, top_k=10)
+
+    ivf.use_packed = True
+    vb, ib = ivf.search_union(queries, top_k=10, nprobe=16)
+    ivf.use_packed = False
+    vg, ig = ivf.search_union(queries, top_k=10, nprobe=16)
+
+    def rec(ids):
+        return np.mean([len(set(e.tolist()) & set(i.tolist())) / 10
+                        for e, i in zip(exact_ids, ids)])
+
+    overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 10
+                       for a, b in zip(ib, ig)])
+    assert overlap >= 0.9, overlap
+    assert rec(ib) >= rec(ig) - 1e-9, (rec(ib), rec(ig))
+    # scores of ids common to both paths must agree (same refine math)
+    for q in range(len(queries)):
+        common = {int(i): float(v) for i, v in zip(ig[q], vg[q])}
+        for i, v in zip(ib[q], vb[q]):
+            if int(i) in common:
+                np.testing.assert_allclose(v, common[int(i)], atol=0.5)
+
+
+def test_pq_block_scan_full_probe_is_exhaustive():
+    """nprobe = nlist: the block scan covers every row exactly once, so
+    with a refine window wide enough to absorb ADC approximation error
+    (scan_k = 5×96 of 1500 rows) it must equal exact int8 search."""
+    x = _clustered_data(1500, 32, seed=32)
+    codes = float_to_int8(x)
+    queries = _clustered_data(4, 32, seed=33)
+    ivf = IVFIndex.build(codes, IVFConfig(num_clusters=24, fine_quant="PQ4",
+                                          kmeans_iters=4, pq_iters=3,
+                                          refine_factor=96))
+    flat = FlatIndex(codes, chunk=512)
+    ev, exact_ids = flat.search(queries, top_k=5)
+    ivf.use_packed = True
+    iv, ivf_ids = ivf.search_union(queries, top_k=5, nprobe=24)
+    recall = np.mean([len(set(e.tolist()) & set(i.tolist())) / 5
+                      for e, i in zip(exact_ids, ivf_ids)])
+    assert recall >= 0.95, recall
+    np.testing.assert_allclose(np.sort(iv, 1), np.sort(ev, 1), atol=0.2)
+
+
 def test_pq_residual_save_load_and_legacy_cfg(tmp_path):
     """The residual flag must survive save/load via the pickled cfg, and
     a cfg WITHOUT the field (pre-residual pickle) must score full-vector."""
