@@ -209,6 +209,11 @@ def main():
     ap.add_argument("--nlist", type=int, default=65536)
     ap.add_argument("--quants", default="SQ8,SQ4,OPQ96",
                     help="comma list of fine quantizations to build+measure")
+    ap.add_argument("--refine_factor", type=int, default=None,
+                    help="override IVFConfig.refine_factor at SEARCH time "
+                         "(PQ refine window = top_k x this; applied to "
+                         "cached indexes without a rebuild). Rows land "
+                         "under ivf_<quant>_rf<N>.")
     ap.add_argument("--reps", type=int, default=16,
                     help="fori-loop repeats for amortized timings")
     ap.add_argument("--cache", default=None,
@@ -361,7 +366,8 @@ def main():
 
     probes = (16, 64, 256)
     for quant in quants:
-        qkey = f"ivf_{quant}"
+        qkey = (f"ivf_{quant}" if args.refine_factor is None
+                else f"ivf_{quant}_rf{args.refine_factor}")
         idx_dir = os.path.join(
             args.workdir, f"ivf_scale_idx_{quant}_{args.n}x{args.d}")
         qres = res.get(qkey, {})
@@ -378,11 +384,15 @@ def main():
         if os.path.exists(os.path.join(idx_dir, "save.done")):
             print(f"loading cached index {idx_dir} ...", flush=True)
             ivf = IVFIndex.load(idx_dir)
+            if args.refine_factor is not None:
+                ivf.cfg.refine_factor = args.refine_factor
+                qres["refine_factor"] = args.refine_factor
         else:
             cfg = IVFConfig(num_clusters=args.nlist, fine_quant=quant,
                             kmeans_iters=6,
                             sample_ratio=min(1.0, 1e6 / args.n),
-                            balance_factor=4.0)
+                            balance_factor=4.0,
+                            refine_factor=args.refine_factor or 4)
             ivf = IVFIndex.build(host_codes, cfg, verbose=True,
                                  coarse_cache=coarse_dir)
             qres["build_s"] = round(time.perf_counter() - t0, 1)
