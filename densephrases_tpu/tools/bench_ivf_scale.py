@@ -216,6 +216,13 @@ def main():
                          "under ivf_<quant>_rf<N>.")
     ap.add_argument("--reps", type=int, default=16,
                     help="fori-loop repeats for amortized timings")
+    ap.add_argument("--probes", default="16,64,256",
+                    help="comma list of nprobe values to measure")
+    ap.add_argument("--grouped_budget_ms", type=float, default=20000.0,
+                    help="max single-dispatch wall budget for the grouped "
+                         "baseline's fori-loop (a >~30 s dispatch can crash "
+                         "the TPU worker); reps shrink to fit, and the "
+                         "baseline is skipped when even 2 reps exceed it")
     ap.add_argument("--cache", default=None,
                     help="corpus memmap cache path (.npy); default "
                          "{workdir}/ivf_scale_corpus_{n}x{d}.npy")
@@ -364,7 +371,7 @@ def main():
     coarse_dir = os.path.join(
         args.workdir, f"ivf_scale_coarse_{args.n}x{args.d}_{args.nlist}")
 
-    probes = (16, 64, 256)
+    probes = tuple(int(p) for p in args.probes.split(",") if p.strip())
     for quant in quants:
         qkey = (f"ivf_{quant}" if args.refine_factor is None
                 else f"ivf_{quant}_rf{args.refine_factor}")
@@ -440,12 +447,28 @@ def main():
             if ivf._packed_ok or ivf._pq_block_ok:
                 # grouped (fixed-cap dynamic_slice) formulation, same
                 # probes/candidates semantics modulo the union superset —
-                # the read-amplification comparison
-                ent["rep_b64_ms_grouped"] = round(amortized_ms(
+                # the read-amplification comparison. The grouped PQ scan
+                # can be ~10x slower than the block scan; a 16-rep
+                # fori-loop at nprobe>=64 then exceeds the TPU worker's
+                # single-dispatch tolerance and CRASHES the chip (seen
+                # twice at 10.5M/OPQ96/p64) — size reps to a wall budget
+                # from a 1-rep probe first.
+                g1_ms = 1000.0 * timed(
                     lambda: ivf.bench_union_repeat(
-                        q64, top_k=20, nprobe=nprobe, reps=args.reps,
-                        packed=False),
-                    args.reps, floor_ms), 2)
+                        q64, top_k=20, nprobe=nprobe, reps=1, packed=False),
+                    n_rep=1, warmup=1)
+                greps = max(2, min(args.reps, int(
+                    args.grouped_budget_ms / max(g1_ms, 1e-3))))
+                if g1_ms * greps <= 1.5 * args.grouped_budget_ms:
+                    ent["rep_b64_ms_grouped"] = round(amortized_ms(
+                        lambda: ivf.bench_union_repeat(
+                            q64, top_k=20, nprobe=nprobe, reps=greps,
+                            packed=False),
+                        greps, floor_ms), 2)
+                    if greps != args.reps:
+                        ent["grouped_reps"] = greps
+                else:
+                    ent["grouped_skipped_1rep_ms"] = round(g1_ms, 2)
             qres[pkey] = ent
             print(f"  nprobe={nprobe}: {ent}", flush=True)
             flush()
