@@ -891,6 +891,35 @@ class IVFIndex:
         index sweep in build_phrase_index.py:95-116) then shares the
         expensive coarse phase — at 10M x 768 that phase is ~40 min.
         """
+        centroids, assign, sample_cache = IVFIndex.build_coarse(
+            codes_int8, cfg, offset=offset, scale=scale, verbose=verbose,
+            coarse_cache=coarse_cache)
+        return IVFIndex._finish_build(
+            codes_int8, cfg, centroids, assign, offset, scale, verbose,
+            sample_cache=sample_cache)
+
+    @staticmethod
+    def build_coarse(codes_int8: np.ndarray, cfg: IVFConfig,
+                     offset: float = DEFAULT_OFFSET,
+                     scale: float = DEFAULT_SCALE, verbose: bool = False,
+                     coarse_cache: Optional[str] = None,
+                     stage_s: Optional[dict] = None):
+        """Coarse quantizer only: train + full-corpus assign + balance.
+
+        Returns (centroids, assign, sample_cache) where sample_cache is
+        the (sample, s_off, s_scale, sel) tuple when freshly computed
+        (None on a coarse_cache hit). stage_s, when given, receives
+        per-stage wall seconds (sample/kmeans/assign/balance) — the
+        nlist=2^20 at-scale exercise records these (the reference builds
+        1,048,576 coarse clusters, ref: README.md:330).
+        """
+        import time as _time
+
+        def _mark(key, t0):
+            if stage_s is not None:
+                stage_s[key] = round(_time.perf_counter() - t0, 2)
+            return _time.perf_counter()
+
         n, d = codes_int8.shape
         if coarse_cache is not None:
             done = os.path.join(coarse_cache, "coarse.done")
@@ -899,16 +928,16 @@ class IVFIndex:
                                                  "centroids.npy"))
                 assign = np.load(os.path.join(coarse_cache, "assign.npy"))
                 assert assign.shape[0] == n, "coarse cache is for another corpus"
-                return IVFIndex._finish_build(
-                    codes_int8, cfg, centroids, assign, offset, scale,
-                    verbose)
+                return centroids, assign, None
         # NO build path materializes an O(corpus) float copy: SQ8 reuses
         # the int8 codes; PQ/OPQ train on the int8-resident sample and
         # encode the corpus by STREAMING int8 blocks through the device
         # (dequant + rotate + assign fused on device; see ops/pq.pq_encode)
 
+        t0 = _time.perf_counter()
         sample, s_off, s_scale, s_sel = IVFIndex._train_sample(
             codes_int8, cfg, offset, scale)
+        t0 = _mark("sample_s", t0)
 
         # --- coarse quantizer. Flat Lloyd for moderate nlist; two-level
         # hierarchical k-means at reference scale (nlist up to 2^20,
@@ -946,6 +975,7 @@ class IVFIndex:
                             np.asarray(parent_offs))
                     with open(km_done, "w") as f:
                         f.write("ok\n")
+            t0 = _mark("kmeans_s", t0)
             # Full-corpus assignment: device-resident grouped-matmul path
             # when the int8 corpus fits the HBM budget (hours → minutes at
             # 10M+ rows; see ops/kmeans.assign_corpus_hier), else the
@@ -968,6 +998,7 @@ class IVFIndex:
                         probe=cfg.assign_probe, offset=offset, scale=scale)
 
             assign = assign_fn(l1_cents, centroids, parent_offs)
+            t0 = _mark("assign_s", t0)
             k_req = centroids.shape[0]
             centroids, _, _, assign = _balance_lists_hier(
                 codes_int8, centroids, l1_cents, assign,
@@ -986,6 +1017,7 @@ class IVFIndex:
                 cfg.balance_factor * max(n / centroids.shape[0], 1.0),
                 l1_cents=l1_cents, budget=fp_budget)
             IVFIndex._log_growth(k_req, centroids.shape[0], assign)
+            t0 = _mark("balance_s", t0)
             del codes_dev, assign_fn
         else:
             centroids, _ = kmeans(
@@ -993,8 +1025,10 @@ class IVFIndex:
                 seed=cfg.seed, verbose=verbose,
                 chunk=min(4096, _round_up(max(len(sample) // 8, 256), 256)),
                 offset=s_off, scale=s_scale)
+            t0 = _mark("kmeans_s", t0)
             assign = assign_blocks(codes_int8, centroids, chunk=2048,
                                    offset=offset, scale=scale)
+            t0 = _mark("assign_s", t0)
 
             # --- balance: split oversized lists (ε-scaled centroid copies +
             # Lloyd refinement). Bounded list length is what makes the
@@ -1015,6 +1049,7 @@ class IVFIndex:
                 cfg.balance_factor * max(n / centroids.shape[0], 1.0),
                 budget=fp_budget)
             IVFIndex._log_growth(k_req, centroids.shape[0], assign)
+            t0 = _mark("balance_s", t0)
 
         if coarse_cache is not None:
             os.makedirs(coarse_cache, exist_ok=True)
@@ -1024,9 +1059,7 @@ class IVFIndex:
                     np.asarray(assign))
             with open(os.path.join(coarse_cache, "coarse.done"), "w") as f:
                 f.write("ok\n")
-        return IVFIndex._finish_build(
-            codes_int8, cfg, centroids, assign, offset, scale, verbose,
-            sample_cache=(sample, s_off, s_scale, s_sel))
+        return centroids, assign, (sample, s_off, s_scale, s_sel)
 
     @staticmethod
     def _train_sample(codes_int8: np.ndarray, cfg: IVFConfig, offset: float,

@@ -36,6 +36,7 @@ Run on the live TPU:  python tools/bench_ivf_scale.py [--n 10485760]
 """
 
 import argparse
+import functools
 import json
 import os
 import shutil
@@ -233,6 +234,12 @@ def main():
     ap.add_argument("--fresh", action="store_true",
                     help="ignore an existing output JSON (still reuses "
                          "corpus/coarse/index caches)")
+    ap.add_argument("--coarse_only", action="store_true",
+                    help="train/assign/balance the coarse quantizer only "
+                         "and measure probe cost — the nlist=2^20 "
+                         "at-scale exercise (ref builds 1,048,576 "
+                         "clusters, README.md:330). Use a dedicated "
+                         "--out; skips the flat phase entirely.")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "docs", "IVF_SCALE.json"))
     args = ap.parse_args()
@@ -278,7 +285,7 @@ def main():
         print(f"loading cached corpus {cache} ...", flush=True)
         host_codes = np.load(cache, mmap_mode="r")
         assert host_codes.shape == (args.n, args.d)
-        if not flat_done:
+        if not flat_done and not args.coarse_only:
             # the flat phase needs the corpus on device; resumed runs with
             # the flat rows already measured skip the 8 GB upload entirely
             # (its deferred free would otherwise overlap the IVF load and
@@ -298,6 +305,59 @@ def main():
     floor_ms = dispatch_floor_ms()
     res["roundtrip_floor_ms"] = round(floor_ms, 2)
     flush()
+
+    if args.coarse_only:
+        # ---- nlist=2^20 exercise: coarse quantizer only ----------------
+        # train (two-level k-means) + full-corpus hierarchical assignment
+        # + balance, with per-stage wall clocks, then the production probe
+        # cost (the [B, nlist] max-inner-product matmul + top-nprobe that
+        # every search pays; _probe_score). Ref scale: README.md:330.
+        del codes_dev  # assignment manages its own device residency
+        jax.clear_caches()
+        cfgk = IVFConfig(num_clusters=args.nlist, fine_quant="SQ8")
+        coarse_dir = os.path.join(
+            args.workdir,
+            f"ivf_scale_coarse_{args.n}x{args.d}_{args.nlist}")
+        stage_s = {}
+        t0 = time.perf_counter()
+        centroids, assign, _ = IVFIndex.build_coarse(
+            host_codes, cfgk, verbose=True, coarse_cache=coarse_dir,
+            stage_s=stage_s)
+        total_s = round(time.perf_counter() - t0, 1)
+        lens = np.bincount(assign, minlength=centroids.shape[0])
+        row = {
+            "nlist_requested": args.nlist,
+            "nlist_actual": int(centroids.shape[0]),
+            "stage_s": stage_s or {"cached": True},
+            "total_s": total_s,
+            "list_mean": round(float(lens.mean()), 2),
+            "list_max": int(lens.max()),
+            "list_p99": int(np.percentile(lens, 99)),
+            "empty_lists": int((lens == 0).sum()),
+            "centroid_bytes": int(centroids.size * 2),  # bf16 resident
+        }
+        # probe cost: bf16 centroids resident, jitted matmul + top-nprobe
+        cents_dev = jnp.asarray(centroids, jnp.bfloat16)
+
+        @functools.partial(jax.jit, static_argnums=(1,))
+        def probe(q, np_):
+            s = (q.astype(jnp.bfloat16) @ cents_dev.T).astype(jnp.float32)
+            return jax.lax.top_k(s, np_)[1]
+
+        qk = np.sort(rng.integers(0, args.n, 64))
+        qp = (np.ascontiguousarray(host_codes[qk]).astype(np.float32)
+              / DEFAULT_SCALE + DEFAULT_OFFSET)
+        for b in (1, 64):
+            for np_ in (16, 64):
+                f = functools.partial(probe, jnp.asarray(qp[:b]), np_)
+                jax.block_until_ready(f())
+                row[f"probe_b{b}_p{np_}_ms"] = round(
+                    max(1000 * timed(lambda: jax.block_until_ready(f()))
+                        - floor_ms, 0.0), 2)
+        res["coarse"] = row
+        flush()
+        print(json.dumps(res))
+        return
 
     # queries: perturbed corpus rows (host memmap read is tiny)
     qids = np.sort(rng.integers(0, args.n, 65))
