@@ -343,10 +343,15 @@ def kmeans_batched(groups, k: int, iters: int = 5, seed: int = 0,
     out = []
     for g0 in range(0, len(groups), g_max):
         chunk_groups = groups[g0:g0 + g_max]
-        X = np.empty((len(chunk_groups), n_pad, d), dt)
-        C0 = np.empty((len(chunk_groups), k, d), np.float32)
-        for gi, g in enumerate(chunk_groups):
-            g = np.asarray(g, dt)
+        # pad a partial trailing chunk up to g_max when earlier full
+        # chunks exist: the duplicated groups waste a few flops but
+        # reuse the full-chunk XLA compile (a fresh [G', n, d] shape is
+        # a fresh ~30 s compile over the tunnel)
+        g_eff = (g_max if len(groups) > g_max else len(chunk_groups))
+        X = np.empty((g_eff, n_pad, d), dt)
+        C0 = np.empty((g_eff, k, d), np.float32)
+        for gi in range(g_eff):
+            g = np.asarray(chunk_groups[gi % len(chunk_groups)], dt)
             if len(g) < n_pad:
                 extra = g[rng.integers(0, len(g), n_pad - len(g))]
                 g = np.concatenate([g, extra])
@@ -386,9 +391,14 @@ def kmeans_two_level(x: np.ndarray, k: int, iters: int = 10, seed: int = 0,
                         chunk=min(4096, _BLOCK), offset=offset, scale=scale)
     counts = np.bincount(assign, minlength=k1).astype(np.float64)
 
-    # proportional child budget, bucketed to multiples of 8 (shared compiles)
+    # proportional child budget, bucketed to a shared-compile quantum.
+    # The quantum scales with the mean child count k/k1: at reference
+    # scale (nlist=2^20 → k/k1 ≈ 1024) an 8-wide quantum yields O(100)
+    # distinct (k2, nb) buckets — each a separate XLA compile of the
+    # batched Lloyd, which dominates wall-clock over the device tunnel.
+    q = float(max(8, int(2 ** np.ceil(np.log2(max(k / max(k1, 1), 8)))) // 16))
     raw = k * counts / max(counts.sum(), 1.0)
-    k2 = np.maximum(np.round(raw / 8.0) * 8, (counts > 0) * 1).astype(np.int64)
+    k2 = np.maximum(np.round(raw / q) * q, (counts > 0) * 1).astype(np.int64)
     k2 = np.minimum(k2, counts.astype(np.int64))
 
     # Sub-cluster every parent's members. Parents are bucketed by

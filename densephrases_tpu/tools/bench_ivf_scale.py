@@ -314,7 +314,10 @@ def main():
         # every search pays; _probe_score). Ref scale: README.md:330.
         del codes_dev  # assignment manages its own device residency
         jax.clear_caches()
-        cfgk = IVFConfig(num_clusters=args.nlist, fine_quant="SQ8")
+        cfgk = IVFConfig(num_clusters=args.nlist, fine_quant="SQ8",
+                         kmeans_iters=6,
+                         sample_ratio=min(1.0, 1e6 / args.n),
+                         balance_factor=4.0)
         coarse_dir = os.path.join(
             args.workdir,
             f"ivf_scale_coarse_{args.n}x{args.d}_{args.nlist}")
