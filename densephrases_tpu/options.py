@@ -55,6 +55,11 @@ class IndexOptions:
     doc_sample_ratio: float = 0.2
     vec_sample_ratio: float = 0.2
     norm_th: float = 999.0
+    # reference default is 256 (options.py ref) for its 1B-vector dumps;
+    # at ~10M rows/chip the measured speed point is nprobe=16 (recall@20
+    # ≥0.95, 2.3× faster than flat) and nprobe≥64 LOSES to the exact
+    # flat scan — see docs/ARCHITECTURE.md §3 "Picking an operating
+    # point" before raising this.
     nprobe: int = 256
     first_passage: bool = False
     index_filter: float = -1e8
