@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--top_k", type=int, default=10)
     ap.add_argument("--workdir", default=None,
                     help="bench_ivf_scale cache dir (default <repo>/cache)")
+    ap.add_argument("--gt_only", action="store_true",
+                    help="compute + cache the exact ground truth, then "
+                         "exit (run as a child process so the flat-scan "
+                         "HBM is released before the serve phase)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "docs", "BENCH_IVF.json"))
     args = ap.parse_args()
@@ -126,25 +130,38 @@ def main():
     # ---------------- phase A: exact ground truth (cached) ----------
     gt_path = os.path.join(workdir, f"e2e_gt_{args.n}x{args.d}.npz")
     dp = None
-    if os.path.exists(gt_path):
-        gt = np.load(gt_path)
-        qvec, gt_ids = gt["qvec"], gt["gt_ids"]
-    else:
-        # encode once on device (deterministic for seed-0 params/vocab),
-        # then exact flat top-20 for both query halves; the flat buffer
-        # is freed before the OPQ index goes up (HBM budget). mips=None:
-        # only query2vec is used here.
-        dp_tmp = DensePhrases(params, config, tok, None,
-                              max_query_length=32, serve_dtype="bf16")
-        qvec = np.asarray(dp_tmp.query2vec(queries))
-        b = qvec.shape[0]
-        stacked = np.concatenate(
-            [qvec[:, :args.d], qvec[:, args.d:]], axis=0)
-        flat = FlatIndex(corpus, chunk=65536)
-        _, gt_ids = flat.search(stacked, top_k=20)
-        del flat
-        jax.clear_caches()
-        np.savez(gt_path, qvec=qvec, gt_ids=gt_ids)
+    if not os.path.exists(gt_path):
+        if args.gt_only:
+            # encode once on device (deterministic for seed-0
+            # params/vocab), then exact flat top-20 for both query
+            # halves. mips=None: only query2vec is used here.
+            dp_tmp = DensePhrases(params, config, tok, None,
+                                  max_query_length=32, serve_dtype="bf16")
+            qvec = np.asarray(dp_tmp.query2vec(queries))
+            stacked = np.concatenate(
+                [qvec[:, :args.d], qvec[:, args.d:]], axis=0)
+            flat = FlatIndex(corpus, chunk=65536)
+            _, gt_ids = flat.search(stacked, top_k=20)
+            np.savez(gt_path, qvec=qvec, gt_ids=gt_ids)
+            print("ground truth cached:", gt_path)
+            return
+        # fresh HBM for phase B: compute the ground truth in a CHILD
+        # process — `del flat; jax.clear_caches()` does NOT reliably
+        # release the 8 GB flat buffer before the ~10 GB OPQ serve
+        # loads (deferred frees + executable-held constants; measured
+        # RESOURCE_EXHAUSTED at MIPS init on a 16 GB chip). Process
+        # exit is the only guaranteed free.
+        import subprocess
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--n", str(args.n), "--d", str(args.d),
+             "--quant", args.quant, "--batch", str(args.batch),
+             "--workdir", workdir, "--gt_only"], check=True)
+    if args.gt_only:
+        print("ground truth already cached:", gt_path)
+        return
+    gt = np.load(gt_path)
+    qvec, gt_ids = gt["qvec"], gt["gt_ids"]
     res["encode_dim"] = int(qvec.shape[1])
 
     # ---------------- phase B: serve over the IVF index -------------
