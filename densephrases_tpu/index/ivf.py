@@ -396,6 +396,15 @@ def _pq_block_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
         else:
             rlist = jnp.zeros_like(rows)
 
+        # exact two-stage top-k, stage 1 INSIDE the scan body: emitting
+        # raw chunk scores and reducing after the loop materializes a
+        # [steps, B, chunk] f32 buffer (2.6 GB at the 160k-block guard
+        # tier with a stacked B=128 serve batch — the OOM that killed the
+        # 10.5M e2e serve), while per-chunk winners are [steps, B, k1]
+        # (~50 MB). Chunk-local top-k then a final top-k across chunks is
+        # exact — no score can beat a winner it lost to inside its chunk.
+        k1 = min(scan_k, chunk)
+
         def body(_, xs):
             codes_ch, ids_ch, v_ch = xs
             oh = codes_to_onehot(codes_ch)  # [chunk, M*256] bf16
@@ -404,18 +413,14 @@ def _pq_block_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                 preferred_element_type=jnp.float32)  # [B, chunk]
             if pq_residual:
                 s = s + jnp.take(cs32, ids_ch, axis=1)
-            return None, jnp.where(v_ch[None, :], s, NEG_INF)
+            s = jnp.where(v_ch[None, :], s, NEG_INF)
+            return None, jax.lax.top_k(s, k1)  # [B, k1] winners + cols
 
-        _, ys = jax.lax.scan(
+        _, (seg_v, seg_i) = jax.lax.scan(
             body, None,
             (cand.reshape(steps, chunk, mdim),
              rlist.reshape(steps, chunk), vrow.reshape(steps, chunk)))
-        # exact two-stage top-k: per-chunk winners, then across chunks
-        k1 = min(scan_k, chunk)
-        seg_v, seg_i = jax.lax.top_k(
-            ys.reshape(steps * b, chunk), k1)  # scan axis 0 = steps
-        seg_v = seg_v.reshape(steps, b, k1)
-        seg_i = (seg_i.reshape(steps, b, k1)
+        seg_i = (seg_i
                  + (jnp.arange(steps, dtype=jnp.int32) * chunk)[:, None,
                                                                 None])
         cat_v = jnp.moveaxis(seg_v, 0, 1).reshape(b, steps * k1)
@@ -928,6 +933,11 @@ class IVFIndex:
                                                  "centroids.npy"))
                 assign = np.load(os.path.join(coarse_cache, "assign.npy"))
                 assert assign.shape[0] == n, "coarse cache is for another corpus"
+                # a resumed run still reports the build's wall clocks
+                sj = os.path.join(coarse_cache, "stage_s.json")
+                if stage_s is not None and os.path.exists(sj):
+                    with open(sj) as f:
+                        stage_s.update(json.load(f))
                 return centroids, assign, None
         # NO build path materializes an O(corpus) float copy: SQ8 reuses
         # the int8 codes; PQ/OPQ train on the int8-resident sample and
@@ -1057,6 +1067,10 @@ class IVFIndex:
                     np.asarray(centroids))
             np.save(os.path.join(coarse_cache, "assign.npy"),
                     np.asarray(assign))
+            if stage_s:
+                with open(os.path.join(coarse_cache, "stage_s.json"),
+                          "w") as f:
+                    json.dump(stage_s, f)
             with open(os.path.join(coarse_cache, "coarse.done"), "w") as f:
                 f.write("ok\n")
         return centroids, assign, (sample, s_off, s_scale, s_sel)

@@ -175,6 +175,7 @@ def main():
         and mips.vecs_dev is ivf.refine_codes)
     dp = DensePhrases(params, config, tok, mips, max_query_length=32,
                       serve_dtype="bf16")
+    del params  # bf16-resident copy inside dp; drop the 1.3 GB f32 originals
 
     def one_batch():
         qv = dp.query2vec(queries)

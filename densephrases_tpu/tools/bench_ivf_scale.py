@@ -339,13 +339,34 @@ def main():
             "empty_lists": int((lens == 0).sum()),
             "centroid_bytes": int(centroids.size * 2),  # bf16 resident
         }
-        # probe cost: bf16 centroids resident, jitted matmul + top-nprobe
-        cents_dev = jnp.asarray(centroids, jnp.bfloat16)
+        # probe cost: bf16 centroids resident, jitted matmul + top-nprobe.
+        # Segmented two-stage top-k: a single lax.top_k over 1.15M columns
+        # is what crashed the AOT compile helper on the first 2^20 run —
+        # per-4096-column-segment winners then a top-k over winners is
+        # exact and compiles at any nlist.
+        nlist_act = centroids.shape[0]
+        seg = 4096
+        nseg = (nlist_act + seg - 1) // seg
+        pad_cols = nseg * seg - nlist_act
+        cents_pad = np.zeros((nseg * seg, centroids.shape[1]), np.float32)
+        cents_pad[:nlist_act] = centroids
+        cents_dev = jnp.asarray(cents_pad, jnp.bfloat16)
+        del cents_pad
 
         @functools.partial(jax.jit, static_argnums=(1,))
         def probe(q, np_):
             s = (q.astype(jnp.bfloat16) @ cents_dev.T).astype(jnp.float32)
-            return jax.lax.top_k(s, np_)[1]
+            if pad_cols:
+                s = s.at[:, nlist_act:].set(-np.inf)
+            b_ = s.shape[0]
+            k1 = min(np_, seg)
+            sv, si = jax.lax.top_k(s.reshape(b_ * nseg, seg), k1)
+            sv = sv.reshape(b_, nseg * k1)
+            si = (si.reshape(b_, nseg, k1)
+                  + (jnp.arange(nseg, dtype=jnp.int32) * seg)[None, :, None]
+                  ).reshape(b_, nseg * k1)
+            v2, pos = jax.lax.top_k(sv, np_)
+            return jnp.take_along_axis(si, pos, axis=1)
 
         qk = np.sort(rng.integers(0, args.n, 64))
         qp = (np.ascontiguousarray(host_codes[qk]).astype(np.float32)
