@@ -340,10 +340,13 @@ def main():
             "centroid_bytes": int(centroids.size * 2),  # bf16 resident
         }
         # probe cost: bf16 centroids resident, jitted matmul + top-nprobe.
-        # Segmented two-stage top-k: a single lax.top_k over 1.15M columns
-        # is what crashed the AOT compile helper on the first 2^20 run —
-        # per-4096-column-segment winners then a top-k over winners is
-        # exact and compiles at any nlist.
+        # Two crash lessons from the first 2^20 attempts are baked in:
+        # (1) centroids MUST be a jit ARGUMENT — a closure-captured 1.77 GB
+        # device array is embedded as an MLIR constant, and serializing it
+        # for the chipless AOT compile helper churns host memory for tens
+        # of minutes before killing the helper (the original broken-pipe);
+        # (2) top-k is segmented (per-4096-column winners then a top-k over
+        # winners — exact) so no single lax.top_k spans 1.15M columns.
         nlist_act = centroids.shape[0]
         seg = 4096
         nseg = (nlist_act + seg - 1) // seg
@@ -353,9 +356,9 @@ def main():
         cents_dev = jnp.asarray(cents_pad, jnp.bfloat16)
         del cents_pad
 
-        @functools.partial(jax.jit, static_argnums=(1,))
-        def probe(q, np_):
-            s = (q.astype(jnp.bfloat16) @ cents_dev.T).astype(jnp.float32)
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def probe(cents, q, np_):
+            s = (q.astype(jnp.bfloat16) @ cents.T).astype(jnp.float32)
             if pad_cols:
                 s = s.at[:, nlist_act:].set(-np.inf)
             b_ = s.shape[0]
@@ -373,7 +376,8 @@ def main():
               / DEFAULT_SCALE + DEFAULT_OFFSET)
         for b in (1, 64):
             for np_ in (16, 64):
-                f = functools.partial(probe, jnp.asarray(qp[:b]), np_)
+                f = functools.partial(probe, cents_dev,
+                                      jnp.asarray(qp[:b]), np_)
                 jax.block_until_ready(f())
                 row[f"probe_b{b}_p{np_}_ms"] = round(
                     max(1000 * timed(lambda: jax.block_until_ready(f()))
