@@ -300,6 +300,13 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
     return vals, gids
 
 
+def _pq_chunk() -> int:
+    """LUT-scan chunk rows (DPH_PQ_CHUNK): bigger chunks mean fewer
+    sequential scan steps and fatter [B, M*256] @ [M*256, chunk] MXU
+    matmuls, at the cost of a larger per-step one-hot working set."""
+    return int(os.environ.get("DPH_PQ_CHUNK", 2048))
+
+
 @functools.partial(jax.jit, static_argnames=(
     "top_k", "nprobe", "scan_k", "budgets", "n_real", "chunk",
     "pq_residual"))
@@ -1276,7 +1283,8 @@ class IVFIndex:
                 jnp.float32(self.offset), jnp.float32(self.scale),
                 top_k=top_k, nprobe=nprobe, scan_k=scan_k,
                 budgets=self._pack_budgets(b, nprobe),
-                n_real=self.n_real, pq_residual=self.pq_residual)
+                n_real=self.n_real, chunk=_pq_chunk(),
+                pq_residual=self.pq_residual)
         else:
             q_rot = (q_score if self.sq4
                      else queries if self.rotation is None
@@ -1473,7 +1481,7 @@ class IVFIndex:
                             q, q_rot, cents, loffs, codes, perm, books,
                             refine, off, sc, top_k=top_k, nprobe=nprobe,
                             scan_k=scan_k, budgets=budgets, n_real=n_real,
-                            pq_residual=pq_res)
+                            chunk=_pq_chunk(), pq_residual=pq_res)
                     return _union_scan(
                         q, q_rot, cents, loffs, codes, perm, books, refine,
                         off, sc, top_k=top_k,

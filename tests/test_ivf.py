@@ -562,6 +562,28 @@ def test_ivf_coarse_cache_kmeans_checkpoint_resume(tmp_path):
     assert np.array_equal(np.asarray(i1), np.asarray(i2))
 
 
+def test_ivf_coarse_cache_preserves_stage_clocks(tmp_path):
+    """A coarse-cache HIT must still report the original build's stage
+    wall clocks: the nlist=2^20 exercise crashed AFTER coarse.done (probe
+    compile) and its resume would otherwise lose the 74-min timing record
+    (ref per-stage restartability: build_phrase_index.py:341-405)."""
+    import os
+
+    x = _clustered_data(2000, 32, n_clusters=20, seed=33)
+    codes = float_to_int8(x)
+    cc = str(tmp_path / "coarse")
+    cfg = IVFConfig(num_clusters=16, fine_quant="SQ8", kmeans_iters=3)
+    s1: dict = {}
+    IVFIndex.build_coarse(codes, cfg, coarse_cache=cc, stage_s=s1)
+    assert os.path.exists(os.path.join(cc, "stage_s.json"))
+    assert s1.get("kmeans_s") is not None and s1.get("assign_s") is not None
+    s2: dict = {}
+    c2, a2, cache2 = IVFIndex.build_coarse(codes, cfg, coarse_cache=cc,
+                                           stage_s=s2)
+    assert cache2 is None  # cache hit
+    assert s2 == s1  # clocks reloaded, not recomputed
+
+
 def test_ivf_legacy_unaligned_memmap_load(tmp_path):
     """A memmap-loaded index whose code rows are not 32-block-aligned
     (legacy save) must NOT be materialized in host RAM for realignment:
