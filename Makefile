@@ -16,9 +16,11 @@ export DATA_DIR SAVE_DIR CACHE_DIR
 
 .PHONY: test draft train-rc gen-vecs index-vecs eval-index serve bench clean-draft
 
-# fast gate (<5 min): unit + component tests. `make test-all` adds the
-# heavy integration suites (cli pipeline, end-to-end, acceptance, golden
-# activations, two-process serve) — ~25 min on the forced-CPU mesh.
+# fast gate (~6 min): unit + component tests. `make test-all` is the FULL
+# gate — it adds the heavy integration suites (cli pipeline, end-to-end,
+# acceptance, golden activations, two-process serve; ~10 extra min on the
+# forced-CPU mesh) and is what CI / the verify skill must run before a
+# release: regressions in those paths are invisible to plain `make test`.
 test:
 	$(PY) -m pytest tests/ -q -m "not slow"
 

@@ -82,7 +82,8 @@ def _round_up(x: int, m: int) -> int:
 # which (besides being wasteful) makes the serialized program gigantic —
 # large enough to break remote-compile transports.
 @functools.partial(jax.jit,
-                   static_argnames=("top_k", "nprobe", "cap", "scan_k"))
+                   static_argnames=("top_k", "nprobe", "cap", "scan_k",
+                                    "pq_residual"))
 def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
                  pq_books, refine_codes, offset, scale, nlist_valid=None, *,
                  top_k: int, nprobe: int, cap: int, scan_k: int,
@@ -1282,7 +1283,7 @@ class IVFIndex:
                 self.row_perm, self.pq_books, self.refine_codes,
                 jnp.float32(self.offset), jnp.float32(self.scale),
                 top_k=top_k, nprobe=nprobe, scan_k=scan_k,
-                budgets=self._pack_budgets(b, nprobe),
+                budgets=self._pack_budgets(b, nprobe, smem_clamp=False),
                 n_real=self.n_real, chunk=_pq_chunk(),
                 pq_residual=self.pq_residual)
         else:
@@ -1370,7 +1371,7 @@ class IVFIndex:
 
         return searcher
 
-    def _pack_budgets(self, b: int, nprobe: int):
+    def _pack_budgets(self, b: int, nprobe: int, smem_clamp: bool = True):
         """Static block-budget tiers for the packed scan at batch/probe
         shape (b, nprobe).
 
@@ -1381,21 +1382,28 @@ class IVFIndex:
         budget. So a SMALL tier sized from the mean blocks-per-list (x a
         1.35 safety factor) is compiled alongside it; packed_union_scan
         selects by lax.cond on the actual total. Both tiers round up to
-        64 blocks (the two-stage top-k's 2048-column segment)."""
+        64 blocks (the two-stage top-k's 2048-column segment).
+
+        smem_clamp=True applies the Pallas scan's SMEM block-table ceiling
+        to the guard tier; the pure-XLA _pq_block_scan has no such
+        constraint and passes False for an exact worst case."""
         u_cap = min(b * nprobe, int(self.centroids.shape[0]))
         worst = _round_up(max(int(self._pack_table[u_cap - 1]),
                               PACK_TPB), 64)
         small = _round_up(
             max(int(np.ceil(u_cap * self._pack_mean_blk * 1.35)), PACK_TPB),
             64)
-        # SMEM ceiling: the block table scalar-prefetches into SMEM (~1 MB
-        # on v5e); tables beyond ~768 KB fail to compile. The worst-case
-        # tier is clipped to the ceiling — at probe counts where the true
-        # worst case exceeds it, coverage truncates at the ceiling (only
-        # reachable when a batch's probed lists are pathologically long;
-        # the mid tier below keeps a 2x cushion over the mean estimate).
-        smem_max = int(os.environ.get("DPH_PACK_SMEM_BLOCKS", 160 * 1024))
-        worst = min(worst, _round_up(smem_max, 64))
+        if smem_clamp:
+            # SMEM ceiling: the block table scalar-prefetches into SMEM
+            # (~1 MB on v5e); tables beyond ~768 KB fail to compile. The
+            # worst-case tier is clipped to the ceiling — at probe counts
+            # where the true worst case exceeds it, coverage truncates at
+            # the ceiling (only reachable when a batch's probed lists are
+            # pathologically long; packed_union_scan emits a debug print
+            # when that actually happens so truncation is observable).
+            smem_max = int(os.environ.get("DPH_PACK_SMEM_BLOCKS",
+                                          160 * 1024))
+            worst = min(worst, _round_up(smem_max, 64))
         small = min(small, worst)
         tiers = []
         if small < int(0.75 * worst):
@@ -1467,7 +1475,7 @@ class IVFIndex:
                 group = int(np.clip(row_budget // max(cap, 1), 1, 64))
                 use_pq_block = (is_pq and self.use_packed
                                 and self._pq_block_ok and not force_grouped)
-                budgets = (self._pack_budgets(b, nprobe)
+                budgets = (self._pack_budgets(b, nprobe, smem_clamp=False)
                            if use_pq_block else ())
                 n_real, pq_res = self.n_real, self.pq_residual
 

@@ -121,9 +121,10 @@ def _dropout(x, rate, rng, deterministic):
     dropout rates."""
     if deterministic or rate == 0.0 or rng is None:
         return x
-    thr = int(round(rate * 256))
-    if thr <= 0:
-        return x
+    assert 0.0 < rate < 1.0, f"dropout rate must be in [0, 1): {rate}"
+    # clamp so tiny rates still drop ~1/256 and rates near 1 can't reach
+    # thr=256 (keep_p=0 → inf scale → NaNs)
+    thr = min(max(int(round(rate * 256)), 1), 255)
     bits = jax.random.bits(rng, x.shape, dtype=jnp.uint8)
     keep_p = (256 - thr) / 256.0
     scale = jnp.asarray(1.0 / keep_p, x.dtype)

@@ -219,6 +219,15 @@ def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bc).astype(jnp.int32)])
     total = cum[u_n]
+    # the guard tier may be SMEM-clamped below the true worst case
+    # (IVFIndex._pack_budgets); when a batch actually exceeds it, coverage
+    # truncates — make that observable instead of silent
+    jax.lax.cond(
+        total > budgets[-1],
+        lambda t: jax.debug.print(
+            "packed_union_scan: block total {} exceeds guard tier "
+            + str(budgets[-1]) + " -- candidate coverage truncated", t),
+        lambda t: None, total)
 
     bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
     q_bf = jnp.zeros((bp, d), jnp.bfloat16).at[:b].set(

@@ -345,7 +345,7 @@ def test_sharded_ivf_matches_single(tmp_path):
 
 
 @pytest.mark.parametrize("fine_quant,batch", [
-    ("SQ8", 2), ("SQ8", 8), ("OPQ8", 8), ("SQ4", 8), ("SQ4", 2),
+    ("SQ8", 2), ("SQ8", 8), ("OPQ8", 8), ("OPQ8", 2), ("SQ4", 8), ("SQ4", 2),
 ])
 def test_mesh_sharded_ivf_collective(fine_quant, batch):
     """The one-dispatch mesh collective must match the host-merged ShardedIVF
