@@ -58,6 +58,7 @@ from densephrases_tpu.ops.ivf_pack import (
     RB as PACK_RB,
     TPB as PACK_TPB,
     pack_budget_table,
+    packed_pq_scan,
     packed_union_scan,
 )
 from densephrases_tpu.ops.quant import (
@@ -876,7 +877,22 @@ class IVFIndex:
         nlist = max(len(self._pack_table), 1)
         self._pack_mean_blk = float(self._pack_table[-1]) / nlist
         self.use_packed = os.environ.get("DPH_PACKED_SCAN", "1") != "0"
+        # Pallas PQ LUT scan (ops/ivf_pack.packed_pq_scan): default for
+        # PQ/OPQ; DPH_PQ_PALLAS=0 pins the pure-XLA _pq_block_scan
+        self._pq_pallas = os.environ.get("DPH_PQ_PALLAS", "1") != "0"
+        self._codes128_cache = None
         self._search_cache = {}
+
+    @property
+    def _codes128(self):
+        """PQ codes lane-padded to a 128 multiple for the Pallas scan
+        (pad columns are sliced off inside the kernel). Built lazily —
+        one extra device allocation of N x (128-M) bytes."""
+        if self._codes128_cache is None:
+            lanes = _round_up(int(self.codes.shape[1]), 128)
+            self._codes128_cache = jnp.pad(
+                self.codes, ((0, 0), (0, lanes - int(self.codes.shape[1]))))
+        return self._codes128_cache
 
     # ------------------------------------------------------------- build
     @staticmethod
@@ -1268,24 +1284,39 @@ class IVFIndex:
                 n_real=self.n_real, sq4=self.sq4,
                 interpret=(jax.default_backend() != "tpu"))
         elif is_pq and self.use_packed and self._pq_block_ok:
-            # exact-length PQ block scan: one block gather + fat chunked
-            # LUT matmuls instead of ~B*nprobe serial cap-wide steps
             b = int(queries.shape[0])
             scan_k = (min(top_k * self.cfg.refine_factor,
                           max(self.n_total, 1))
                       if self.refine_codes is not None
                       else min(top_k, max(self.n_total, 1)))
-            vals, ids = _pq_block_scan(
-                queries,
-                queries if self.rotation is None
-                else queries @ self.rotation,
-                self.centroids, self.list_offsets, self.codes,
-                self.row_perm, self.pq_books, self.refine_codes,
-                jnp.float32(self.offset), jnp.float32(self.scale),
-                top_k=top_k, nprobe=nprobe, scan_k=scan_k,
-                budgets=self._pack_budgets(b, nprobe, smem_clamp=False),
-                n_real=self.n_real, chunk=_pq_chunk(),
-                pq_residual=self.pq_residual)
+            q_rot = (queries if self.rotation is None
+                     else queries @ self.rotation)
+            if self._pq_pallas:
+                # Pallas one-hot LUT kernel over the packed block geometry
+                # (VMEM-resident LUT, on-chip one-hot — no HBM expansion)
+                vals, ids = packed_pq_scan(
+                    queries, q_rot, self.centroids, self.list_offsets,
+                    self._codes128, self.row_perm, self.pq_books,
+                    self.refine_codes, jnp.float32(self.offset),
+                    jnp.float32(self.scale),
+                    top_k=top_k, nprobe=nprobe, cap=self.cap,
+                    budgets=self._pack_budgets(b, nprobe),
+                    n_real=self.n_real, scan_k=scan_k,
+                    pq_residual=self.pq_residual,
+                    interpret=(jax.default_backend() != "tpu"))
+            else:
+                # pure-XLA PQ block scan: one block gather + fat chunked
+                # LUT matmuls instead of ~B*nprobe serial cap-wide steps
+                vals, ids = _pq_block_scan(
+                    queries, q_rot,
+                    self.centroids, self.list_offsets, self.codes,
+                    self.row_perm, self.pq_books, self.refine_codes,
+                    jnp.float32(self.offset), jnp.float32(self.scale),
+                    top_k=top_k, nprobe=nprobe, scan_k=scan_k,
+                    budgets=self._pack_budgets(b, nprobe,
+                                               smem_clamp=False),
+                    n_real=self.n_real, chunk=_pq_chunk(),
+                    pq_residual=self.pq_residual)
         else:
             q_rot = (q_score if self.sq4
                      else queries if self.rotation is None
@@ -1475,15 +1506,25 @@ class IVFIndex:
                 group = int(np.clip(row_budget // max(cap, 1), 1, 64))
                 use_pq_block = (is_pq and self.use_packed
                                 and self._pq_block_ok and not force_grouped)
-                budgets = (self._pack_budgets(b, nprobe, smem_clamp=False)
-                           if use_pq_block else ())
+                use_pq_pallas = use_pq_block and self._pq_pallas
+                budgets = (self._pack_budgets(
+                    b, nprobe, smem_clamp=use_pq_pallas)
+                    if use_pq_block else ())
                 n_real, pq_res = self.n_real, self.pq_residual
+                interp = jax.default_backend() != "tpu"
 
                 def one(q, cents, loffs, codes, perm, books, refine):
                     if i4_vec:
                         q_rot = q / i4_scale
                     else:
                         q_rot = q if rotation is None else q @ rotation
+                    if use_pq_pallas:
+                        return packed_pq_scan(
+                            q, q_rot, cents, loffs, codes, perm, books,
+                            refine, off, sc, top_k=top_k, nprobe=nprobe,
+                            cap=cap, budgets=budgets, n_real=n_real,
+                            scan_k=scan_k, pq_residual=pq_res,
+                            interpret=interp)
                     if use_pq_block:
                         return _pq_block_scan(
                             q, q_rot, cents, loffs, codes, perm, books,
@@ -1505,7 +1546,12 @@ class IVFIndex:
                 return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
 
             self._search_cache[key] = run
-        return run(queries, self.centroids, self.list_offsets, self.codes,
+        codes_arg = (self._codes128
+                     if (self.pq_books is not None and self._pq_pallas
+                         and self.use_packed and self._pq_block_ok
+                         and not force_grouped)
+                     else self.codes)
+        return run(queries, self.centroids, self.list_offsets, codes_arg,
                    self.row_perm, self.pq_books, self.refine_codes)
 
     def save(self, path: str):

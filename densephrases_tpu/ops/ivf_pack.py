@@ -289,3 +289,227 @@ def pack_budget_table(list_offsets: np.ndarray, cap: int) -> np.ndarray:
     nblk = (offs[:-1] + lens + RB - 1) // RB - offs[:-1] // RB
     nblk = np.sort(nblk)[::-1]
     return np.cumsum(nblk)
+
+
+# --------------------------------------------------------------------------
+# PQ/OPQ packed scan: the same exact-length block geometry, but the tile
+# score is a one-hot LUT contraction built INSIDE the kernel.
+#
+# The pure-XLA PQ block scan (index/ivf.py:_pq_block_scan) materializes a
+# [chunk, M*256] bf16 one-hot in HBM per chunk (100 MB at chunk 2048 /
+# OPQ96) and walks ~100+ serial lax.scan steps of gather → expand → matmul
+# → top-k; measured 183.8 ms amortized b64 at 10.5M (docs/IVF_SCALE.json
+# r4) against an ~8 ms MXU floor — the scan is dispatch/HBM-bound, not
+# FLOP-bound. This kernel keeps the whole contraction on-chip:
+#
+# - the per-query LUT ([B, M*256] bf16, 6.3 MB at B=128/OPQ96) is VMEM-
+#   resident across the entire grid (constant index_map → one DMA);
+# - 32-row code blocks stream HBM→VMEM by scalar-prefetched block table
+#   (double-buffered by Pallas), 128 B/row — the exact-length read;
+# - per 256-row tile, the one-hot is built in VMEM in M-groups of 16
+#   subspaces ([256, 4096] bf16, 2 MB — never touches HBM) and contracted
+#   on the MXU against the matching LUT slice, f32-accumulated.
+#
+# Ref role: the FAISS IVFPQ ADC scan (/root/reference/densephrases/
+# index.py:189-202; IndexIVFPQ in build_phrase_index.py:109-116).
+# --------------------------------------------------------------------------
+
+PQ_MG = 16  # max subspaces per one-hot group (group width = 16*256 = 4096)
+
+
+def _pq_group(m: int) -> int:
+    """Largest one-hot group width that divides M (bounds the VMEM
+    expansion to [TILE, mg*256] bf16 = 2 MB at mg=16)."""
+    for mg in (16, 8, 4, 2, 1):
+        if m % mg == 0:
+            return mg
+    return 1
+
+
+def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
+                          m: int, mg: int, pad_blk: int):
+    """Grid (T_tiles, TPB). Copies one 32-row code block per step into the
+    persistent VMEM tile; on the tile's last block, scores the tile against
+    the VMEM-resident LUT with M//mg one-hot MXU contractions.
+
+    Junk slots (pad_blk suffix) skip the copy; all-junk tiles skip the
+    matmul (stale rows are masked downstream by the caller)."""
+    t = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when(blk_ref[t * TPB + b] != pad_blk)
+    def _():
+        tile_ref[pl.ds(b * RB, RB), :] = codes_ref[:]
+
+    @pl.when((b == TPB - 1) & (blk_ref[t * TPB] != pad_blk))
+    def _():
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        for g in range(m // mg):
+            sub = tile_ref[:, g * mg:(g + 1) * mg].astype(jnp.int32)
+            iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, mg, 256), 2)
+            oh = (sub[..., None] == iota).astype(jnp.bfloat16).reshape(
+                TILE, mg * 256)
+            acc = acc + jax.lax.dot_general(
+                lut_ref[:, g * mg * 256:(g + 1) * mg * 256], oh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        out_ref[:] = acc
+
+
+def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
+                   interpret: bool = False):
+    """lut_bf [B_pad, M*256] bf16, codes128 [N_pad, 128] uint8 lane-padded
+    codes (N_pad % 32 == 0), blk [budget] int32 block table →
+    raw LUT scores [B_pad, budget*RB] f32."""
+    bp = lut_bf.shape[0]
+    n_tiles = budget // TPB
+    lanes = codes128.shape[1]
+    pad_blk = codes128.shape[0] // RB - 1
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_tiles, TPB),
+        in_specs=[
+            pl.BlockSpec((bp, m * 256), lambda t, b, blk_ref: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RB, lanes),
+                         lambda t, b, blk_ref: (blk_ref[t * TPB + b], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bp, TILE), lambda t, b, blk_ref: (0, t),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE, lanes), codes128.dtype)],
+    )
+    return pl.pallas_call(
+        functools.partial(_pq_pack_score_kernel, m=m, mg=_pq_group(m),
+                          pad_blk=pad_blk),
+        out_shape=jax.ShapeDtypeStruct((bp, n_tiles * TILE), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(blk, lut_bf, codes128)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "nprobe", "cap", "budgets", "n_real",
+                              "scan_k", "pq_residual", "interpret"))
+def packed_pq_scan(q_raw, q_rot, centroids, list_offsets, codes128, row_perm,
+                   pq_books, refine_codes, offset, scale, nlist_valid=None,
+                   *, top_k: int, nprobe: int, cap: int, budgets,
+                   n_real: int, scan_k: int, pq_residual: bool = False,
+                   interpret: bool = False):
+    """Packed PQ/OPQ union scan: probe → dedup → exact-length block table →
+    Pallas one-hot LUT kernel → (residual add) → exact two-stage top-k →
+    optional int8 refine. Same union semantics and tier selection as
+    packed_union_scan; same outputs as index/ivf.py:_pq_block_scan.
+
+    codes128: [N_pad, lanes] uint8 PQ codes lane-padded to a multiple of
+    128 (pad columns are ignored — the kernel slices [:, :M])."""
+    from densephrases_tpu.ops.pq import pq_lut
+
+    if isinstance(budgets, int):
+        budgets = (budgets,)
+    b, d = q_raw.shape
+    nlist = centroids.shape[0]
+    m = pq_books.shape[0]
+
+    # ---- probe (bf16 MXU; f32 centroid scores for the residual term)
+    c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
+                          centroids.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+    if nlist_valid is not None:
+        c_scores = jnp.where(
+            jnp.arange(nlist)[None, :] < nlist_valid, c_scores, NEG_INF)
+    _, probe_ids = jax.lax.top_k(c_scores, nprobe)
+    if pq_residual:
+        cs32 = jnp.einsum("bd,nd->bn", q_raw, centroids,
+                          preferred_element_type=jnp.float32)
+
+    # ---- dedup probed lists on device (sentinel sorts last)
+    flat = jnp.sort(probe_ids.reshape(-1))
+    keep = jnp.concatenate([jnp.ones((1,), bool), flat[1:] != flat[:-1]])
+    uniq = jnp.sort(jnp.where(keep, flat, nlist))  # [U]
+    u_n = uniq.shape[0]
+    valid_l = uniq < nlist
+    lic = jnp.minimum(uniq, nlist - 1).astype(jnp.int32)
+    offs = list_offsets[lic]
+    lens = jnp.where(valid_l,
+                     jnp.minimum(list_offsets[lic + 1] - offs, cap), 0)
+
+    # ---- 32-row block table with disjoint coverage (module docstring)
+    pad_blk = codes128.shape[0] // RB - 1
+    b0 = offs // RB
+    e = (offs + lens + RB - 1) // RB
+    start = jnp.maximum(b0, jnp.concatenate(
+        [jnp.zeros((1,), e.dtype), e[:-1]]))
+    bc = jnp.where(valid_l, jnp.maximum(e - start, 0), 0)
+    cum = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(bc).astype(jnp.int32)])
+    total = cum[u_n]
+    jax.lax.cond(
+        total > budgets[-1],
+        lambda t: jax.debug.print(
+            "packed_pq_scan: block total {} exceeds guard tier "
+            + str(budgets[-1]) + " -- candidate coverage truncated", t),
+        lambda t: None, total)
+
+    bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
+    lut = pq_lut(pq_books, q_rot).reshape(b, -1).astype(jnp.bfloat16)
+    lut_bf = jnp.zeros((bp, m * 256), jnp.bfloat16).at[:b].set(lut)
+
+    def scan_at(budget: int):
+        def run(_):
+            j = jnp.arange(budget, dtype=jnp.int32)
+            u_of = jnp.clip(
+                jnp.searchsorted(cum, j, side="right") - 1, 0, u_n - 1)
+            blk = jnp.where(j < total, start[u_of] + (j - cum[u_of]),
+                            pad_blk).astype(jnp.int32)
+            raw = _pq_pack_score(lut_bf, codes128, blk, budget=budget,
+                                 m=m, interpret=interpret)[:b]
+            r = jnp.arange(budget * RB, dtype=jnp.int32)
+            src = blk[r // RB] * RB + (r % RB)  # packed row -> sorted row
+            valid = ((r // RB) < total) & (src < n_real)
+            s = raw
+            if pq_residual:
+                # TRUE owning list per row (edge rows belong to the
+                # adjacent list — their residual base must be their own
+                # centroid; see _pq_block_scan)
+                rlist = jnp.clip(
+                    jnp.searchsorted(list_offsets, src, side="right") - 1,
+                    0, nlist - 1)
+                s = s + jnp.take(cs32, rlist, axis=1)
+            s = jnp.where(valid[None, :], s, NEG_INF)
+            k = min(scan_k, s.shape[1])
+            vals, pos = _topk2(s, k)
+            srows = jnp.take(src, pos)
+            k_out = min(scan_k, budgets[-1] * RB)
+            if k < k_out:
+                vals = jnp.concatenate(
+                    [vals, jnp.full((b, k_out - k), NEG_INF)], axis=1)
+                srows = jnp.concatenate(
+                    [srows, jnp.zeros((b, k_out - k), srows.dtype)],
+                    axis=1)
+            return vals, srows
+        return run
+
+    run = scan_at(budgets[-1])
+    for small in reversed(budgets[:-1]):
+        def run(_, small=small, big=run):
+            return jax.lax.cond(total <= small, scan_at(small), big, None)
+    vals, srows = run(None)
+
+    gids = row_perm[jnp.clip(srows, 0, row_perm.shape[0] - 1)]
+    if refine_codes is not None:
+        # exact int8 re-ranking in the UNROTATED space (as _pq_block_scan)
+        cand = refine_codes[jnp.clip(gids, 0, refine_codes.shape[0] - 1)]
+        qsum_r = q_raw.sum(-1) * offset
+        s = jnp.einsum("bd,bcd->bc", q_raw.astype(jnp.bfloat16),
+                       cand.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        s = s / scale + qsum_r[:, None]
+        s = jnp.where(vals > NEG_INF / 2, s, NEG_INF)
+        vals, pos = jax.lax.top_k(s, min(top_k, s.shape[1]))
+        gids = jnp.take_along_axis(gids, pos, axis=1)
+    else:
+        k = min(top_k, vals.shape[1])
+        vals, gids = vals[:, :k], gids[:, :k]
+    return vals, gids

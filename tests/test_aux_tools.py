@@ -116,12 +116,31 @@ def test_cloze_qg_extended_yield_and_determinism():
         assert q.split()[0] in ("what", "who", "when", "which", "how")
 
 
-def test_dsmall_subsample_nested():
-    from densephrases_tpu.tools.dsmall import subsample_per_par
+def test_dsmall_doc_split_and_nested_corpora():
+    from densephrases_tpu.tools.dsmall import nested_corpora, split_docs
 
-    exs = [{"par_key": f"p{i % 3}", "qid": str(i)} for i in range(30)]
-    small = subsample_per_par(exs, 2)
-    big = subsample_per_par(exs, 5)
-    assert len(small) == 6 and len(big) == 15
-    ids = {e["qid"] for e in big}
-    assert all(e["qid"] in ids for e in small)  # nested subsets
+    docs = ([{"title": f"mod:{i}.py", "paragraphs": [f"p{i}_{j}"
+              for j in range(3)]} for i in range(40)]
+            + [{"title": "Wiki Article", "paragraphs": ["w0", "w1"]}])
+    train, dev = split_docs(docs, dev_par_target=12)
+    # document-held-out: no overlap, split is a partition
+    dev_titles = {d["title"] for d in dev}
+    assert not dev_titles & {d["title"] for d in train}
+    assert len(train) + len(dev) == len(docs)
+    assert sum(len(d["paragraphs"]) for d in dev) >= 12
+    # the forced article lands in dev (genre coverage)
+    assert "Wiki Article" in dev_titles
+    # deterministic
+    train2, dev2 = split_docs(docs, dev_par_target=12)
+    assert [d["title"] for d in dev2] == [d["title"] for d in dev]
+
+    corpora = nested_corpora(dev, train, [15, 40, 200])
+    # dev docs lead every corpus (fixed dev set stays answerable)
+    for c in corpora:
+        assert [d["title"] for d in c[: len(dev)]] == [
+            d["title"] for d in dev]
+    # nested by construction, and each meets its paragraph target
+    for small, big, target in zip(corpora, corpora[1:], [15, 40]):
+        assert [d["title"] for d in small] == [
+            d["title"] for d in big[: len(small)]]
+        assert sum(len(d["paragraphs"]) for d in small) >= target

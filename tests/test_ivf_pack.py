@@ -201,3 +201,55 @@ def test_top_k_larger_than_corpus_pads():
     vals, gids = idx.search_union(q, top_k=128, nprobe=4)
     assert vals.shape == (4, 128)
     assert np.all(np.isfinite(vals[:, :32]))
+
+# ------------------------------------------------------- Pallas PQ scan
+
+def _build_pq(seed=0, refine_factor=4, fine_quant="OPQ8"):
+    cfg = IVFConfig(num_clusters=NLIST, fine_quant=fine_quant,
+                    pq_iters=3, opq_iters=2, kmeans_iters=4, seed=seed,
+                    refine_factor=refine_factor)
+    return IVFIndex.build(_corpus(seed), cfg)
+
+
+@pytest.mark.parametrize("batch,nprobe", [(1, 4), (8, 6), (8, NLIST)])
+def test_pq_pallas_matches_xla_block_scan(batch, nprobe):
+    """The Pallas PQ LUT kernel must agree with the pure-XLA block scan
+    (same probes, same union coverage, same residual + refine math)."""
+    idx = _build_pq()
+    assert idx._pq_block_ok and idx._pq_pallas and idx.pq_residual
+    q = _queries(b=batch, seed=7)
+    vp, ip = idx.search_union(q, top_k=20, nprobe=nprobe)
+    idx._pq_pallas = False
+    vx, ix = idx.search_union(q, top_k=20, nprobe=nprobe)
+    idx._pq_pallas = True
+    np.testing.assert_allclose(vp, vx, atol=1e-3, rtol=0)
+    assert (ip == ix).mean() > 0.95  # ties may swap order
+
+
+def test_pq_pallas_full_probe_recall():
+    """At nprobe = nlist with a deep int8 refine, the Pallas PQ path must
+    agree with the exact int8 ranking on most of the top-k (M=16 keeps
+    PQ distortion from dominating; rf16 widens stage-1)."""
+    idx = _build_pq(refine_factor=16, fine_quant="OPQ16")
+    q = _queries(b=8, seed=8)
+    vals, gids = idx.search_union(q, top_k=10, nprobe=NLIST)
+    brute = _brute_sq8(q, _corpus())
+    exact = np.argsort(brute, axis=1)[:, ::-1][:, :10]
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(gids, exact)])
+    assert overlap >= 0.9, overlap
+    # refined scores are exact int8 scores of their ids
+    got = np.take_along_axis(brute, gids.astype(np.int64), axis=1)
+    live = vals > -1e29
+    np.testing.assert_allclose(vals[live], got[live], atol=1e-3, rtol=0)
+
+
+def test_pq_pallas_no_refine_path():
+    idx = _build_pq(refine_factor=1)
+    assert idx.refine_codes is None
+    q = _queries(b=4, seed=9)
+    vp, ip = idx.search_union(q, top_k=15, nprobe=6)
+    idx._pq_pallas = False
+    vx, ix = idx.search_union(q, top_k=15, nprobe=6)
+    np.testing.assert_allclose(vp, vx, atol=1e-3, rtol=0)
