@@ -52,7 +52,8 @@ SCORE_FLOOR = -1e5  # host-side filter for masked/dummy results (ref: index.py:4
                    static_argnames=("max_answer_length", "return_vecs"))
 def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
                    vecs, f2o, doc_end_row, doc_base_row, offset, scale,
-                   *, max_answer_length: int, return_vecs: bool = False):
+                   pq=None, *, max_answer_length: int,
+                   return_vecs: bool = False):
     """Constrained span rescoring for both anchor directions, on device.
 
     query_start/query_end: [B, D] (already OPQ-rotated if applicable).
@@ -60,15 +61,42 @@ def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
     s_scores/e_scores: [B, K] their MIPS scores.
     Returns per-direction best partner offsets, joint scores, and partner
     vectors (for query-side fine-tuning, ref: index.py:380-389).
-    """
-    n = vecs.shape[0]
+
+    pq: optional (codes, books, inv_perm, row_list, c_rot) — reconstruct-
+    from-codes mode (ref faiss reconstruct() serving, index.py:275-302):
+    candidate vectors are DECODED from the IVF-PQ residual codes instead
+    of gathered from a resident int8 matrix (vecs is None; queries must
+    be in the ROTATED code space, like the decoded vectors)."""
+    n = f2o.shape[0]
     L = max_answer_length
+
+    if pq is not None:
+        codes, books, inv_perm, row_list, c_rot = pq
+
+        # CPU XLA has no batched bf16xbf16=f32 dot thunk — bf16 only on TPU
+        cdt = (jnp.bfloat16 if jax.default_backend() == "tpu"
+               else jnp.float32)
+
+        def fetch(rows):  # rows already clipped to [0, n)
+            s = inv_perm[rows]
+            code = codes[s]  # [..., M] uint8
+            oh = (code[..., None].astype(jnp.int32)
+                  == jax.lax.broadcasted_iota(
+                      jnp.int32, code.shape + (books.shape[1],),
+                      code.ndim)).astype(cdt)
+            res = jnp.einsum("...mk,mkd->...md", oh, books.astype(cdt),
+                             preferred_element_type=jnp.float32)
+            res = res.reshape(code.shape[:-1] + (-1,))
+            return c_rot[row_list[s]] + res
+    else:
+
+        def fetch(rows):
+            return vecs[rows].astype(jnp.float32) / scale + offset
 
     def gather_window(gids, offsets):
         win = gids[..., None] + offsets  # [B, K, L]
         wc = jnp.clip(win, 0, n - 1)
-        v = vecs[wc].astype(jnp.float32) / scale + offset  # [B, K, L, D]
-        return win, wc, v
+        return win, wc, fetch(wc)  # [B, K, L, D]
 
     up = jnp.arange(L)
     down = jnp.arange(-(L - 1), 1)
@@ -110,8 +138,8 @@ def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
     if return_vecs:
         # candidate phrase vectors — only materialized (and shipped to host)
         # for query-side fine-tuning (ref: index.py:380-389 return_idxs)
-        anchor_s_vec = vecs[jnp.clip(s_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
-        anchor_e_vec = vecs[jnp.clip(e_gids, 0, n - 1)].astype(jnp.float32) / scale + offset
+        anchor_s_vec = fetch(jnp.clip(s_gids, 0, n - 1))
+        anchor_e_vec = fetch(jnp.clip(e_gids, 0, n - 1))
         out.update({
             "end_vec_for_start": best_e_vec, "start_vec_anchor": anchor_s_vec,
             "start_vec_for_end": best_s_vec, "end_vec_anchor": anchor_e_vec,
@@ -220,6 +248,7 @@ class MIPS:
         # gathers candidate windows on the host (B·K·L rows, tiny) and
         # rescoring runs in numpy — no corpus-sized device arrays exist.
         self.tiered = hasattr(index, "gather_rows_host")
+        self.pq_serve = None
 
         if preload_meta:
             # Parallel-decompress all doc metadata in the BACKGROUND —
@@ -252,6 +281,8 @@ class MIPS:
             # are harmless).
             idx_codes = getattr(index, "codes", None)
             idx_refine = getattr(index, "refine_codes", None)
+            idx_books = getattr(index, "pq_books", None)
+            self.pq_serve = None
             if (isinstance(index, FlatIndex) and index.mesh is None
                     and idx_codes is not None and idx_codes.ndim == 2):
                 self.vecs_dev = idx_codes
@@ -263,6 +294,36 @@ class MIPS:
                 # stage instead of uploading a second 8 GB copy (the only
                 # way BOTH stages of a 10M+ OPQ serve fit one chip's HBM)
                 self.vecs_dev = idx_refine
+            elif idx_books is not None:
+                # Reconstruct-from-codes serving (ref faiss reconstruct(),
+                # /root/reference/densephrases/index.py:275-302): no
+                # original-order int8 matrix exists anywhere on device —
+                # stage 2 decodes candidate windows from the IVF-PQ
+                # residual codes. This is the true memory point of the
+                # PQ quantizers: device bytes ~= code bytes, not D bytes,
+                # per row. Build the (global row → sorted row → list)
+                # maps + rotated centroids the decoder needs.
+                self.vecs_dev = None
+                n_real = index.n_real
+                rp = np.asarray(index.row_perm)[:n_real]
+                inv = np.empty(store.n_vecs, np.int32)
+                inv[rp] = np.arange(n_real, dtype=np.int32)
+                loffs = np.asarray(index.list_offsets)
+                row_list = (np.searchsorted(
+                    loffs, np.arange(n_real, dtype=np.int64),
+                    side="right") - 1).astype(np.int32)
+                cents = np.asarray(index.centroids)
+                rot = (None if index.rotation is None
+                       else np.asarray(index.rotation))
+                c_rot = cents if rot is None else cents @ rot
+                self.pq_serve = {
+                    "codes": index.codes, "books": index.pq_books,
+                    "inv_perm": jnp.asarray(inv),
+                    "row_list": jnp.asarray(row_list),
+                    "c_rot": jnp.asarray(c_rot, jnp.float32),
+                    "rot": (None if rot is None
+                            else jnp.asarray(rot, jnp.float32)),
+                }
             else:
                 self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
             self.f2o_dev = jnp.asarray(f2o)
@@ -357,6 +418,19 @@ class MIPS:
                                   return_sent=return_sent)
             return (outs, dev_vecs) if dev_vecs is not None else outs
 
+        pq = None
+        out_rot = self.R
+        if self.pq_serve is not None:
+            # decode-mode: rescore runs in the ROTATED code space — rotate
+            # the queries here (stage 1 left them raw: the IVF index owns
+            # its rotation), decode candidates as c_rot[list] + decode(code)
+            ps = self.pq_serve
+            if ps["rot"] is not None:
+                qs = qs @ ps["rot"]
+                qe = qe @ ps["rot"]
+                out_rot = ps["rot"]
+            pq = (ps["codes"], ps["books"], ps["inv_perm"],
+                  ps["row_list"], ps["c_rot"])
         with self.timer.stage("rescore_device"):
             res = _rescore_spans(
                 qs, qe,
@@ -364,14 +438,15 @@ class MIPS:
                 jnp.asarray(s_scores), jnp.asarray(e_scores),
                 self.vecs_dev, self.f2o_dev, self.doc_end_dev, self.doc_base_dev,
                 jnp.float32(self.store.offset), jnp.float32(self.store.scale),
-                max_answer_length=max_answer_length, return_vecs=return_idxs,
+                pq, max_answer_length=max_answer_length,
+                return_vecs=return_idxs,
             )
-            if return_idxs and self.R is not None:
+            if return_idxs and out_rot is not None:
                 # Serve scores are (q·R)·c; hand query-side trainers vectors
                 # v = c·Rᵀ so the plain inner product q·v equals the serve
                 # score (ref rotates candidates into query space,
                 # index.py:338-345,380-389).
-                rt = self.R.T
+                rt = out_rot.T
                 for key in ("end_vec_for_start", "start_vec_anchor",
                             "start_vec_for_end", "end_vec_anchor"):
                     res[key] = res[key] @ rt

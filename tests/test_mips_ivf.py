@@ -118,3 +118,46 @@ def test_pack_budget_tiers_ladder():
         worst = int(idx._pack_table[u - 1])
         smem = int(os.environ.get("DPH_PACK_SMEM_BLOCKS", 160 * 1024))
         assert tiers[-1] >= min(worst, smem), (tiers, worst)
+
+
+def test_mips_pq_decode_serve_no_int8(tmp_path):
+    """Reconstruct-from-codes serving (ref faiss reconstruct(), ref
+    index.py:275-302): with no refine matrix, MIPS must serve a PQ index
+    with NO original-order int8 corpus on device — stage 2 decodes
+    candidate windows from the residual codes — and still mostly agree
+    with the full int8 serve."""
+    store = _store(tmp_path)
+    flat_mips = MIPS(store)
+    ivf = IVFIndex.build(np.asarray(store.vecs),
+                         IVFConfig(num_clusters=32, fine_quant="OPQ16",
+                                   kmeans_iters=5, pq_iters=3, opq_iters=2,
+                                   refine_factor=1))
+    assert ivf.refine_codes is None
+    mips = MIPS(store, index=ivf)
+    assert mips.pq_serve is not None and mips.vecs_dev is None
+    q = _queries(store)
+    out_pq = mips.search(q, top_k=5, nprobe=32)
+    out_flat = flat_mips.search(q, top_k=5)
+    ov = _span_overlap(out_flat, out_pq)
+    assert ov >= 0.5, ov
+    for ret in out_pq:
+        for r in ret:
+            assert r["answer"] == r["context"][r["start_pos"]:r["end_pos"]]
+
+
+def test_mips_pq_decode_return_vecs_score_consistency(tmp_path):
+    """In decode mode with return_idxs, handed-out vectors must satisfy
+    q · v == serve score (the query-FT contract, ref index.py:380-389)."""
+    store = _store(tmp_path)
+    ivf = IVFIndex.build(np.asarray(store.vecs),
+                         IVFConfig(num_clusters=32, fine_quant="OPQ16",
+                                   kmeans_iters=5, pq_iters=3, opq_iters=2,
+                                   refine_factor=1))
+    mips = MIPS(store, index=ivf)
+    q = _queries(store, n=4)
+    outs = mips.search(q, top_k=4, nprobe=32, return_idxs=True)
+    d = store.dim
+    for b, ret in enumerate(outs):
+        for r in ret[:3]:
+            got = float(q[b, :d] @ r["start_vec"] + q[b, d:] @ r["end_vec"])
+            assert abs(got - r["score"]) < 0.75, (got, r["score"])
