@@ -1236,6 +1236,59 @@ class IVFIndex:
                         n_total=n, refine_codes=refine,
                         int4_offset=i4_off, int4_scale=i4_sc)
 
+    @staticmethod
+    def build_host_save(codes_int8, cfg: IVFConfig, out_dir: str,
+                        offset: float = DEFAULT_OFFSET,
+                        scale: float = DEFAULT_SCALE,
+                        coarse_cache: Optional[str] = None,
+                        verbose: bool = False,
+                        chunk_rows: int = 1 << 20) -> str:
+        """Beyond-HBM build: train coarse + lay out SQ8 inverted lists and
+        write the save directory DIRECTLY, with the sorted code matrix
+        streamed memmap→memmap — no corpus-sized device array (the normal
+        build uploads the codes at __init__) and no second corpus-sized
+        host allocation. Serve the result with TieredIVF.load (the FAISS
+        OnDiskInvertedLists role, ref: build_phrase_index.py:282-338).
+
+        SQ8 only: at beyond-HBM scale the raw-code tiered scan is the
+        serve path (index/tiered.py rejects PQ by design)."""
+        assert cfg.fine_quant == "SQ8", \
+            "host-save build is the beyond-HBM SQ8 path (see TieredIVF)"
+        n, d = codes_int8.shape
+        centroids, assign, _ = IVFIndex.build_coarse(
+            codes_int8, cfg, verbose=verbose, coarse_cache=coarse_cache)
+        order = np.argsort(assign, kind="stable")
+        sorted_assign = assign[order]
+        list_offsets = np.searchsorted(
+            sorted_assign, np.arange(centroids.shape[0] + 1)).astype(
+                np.int32)
+        lens = np.diff(list_offsets)
+        cap = int(_round_up(max(int(lens.max()), 8), 8))
+        pad = (_round_up(cap, PACK_RB)
+               + (-(n + _round_up(cap, PACK_RB))) % PACK_RB)
+        os.makedirs(out_dir, exist_ok=True)
+        mm = np.lib.format.open_memmap(
+            os.path.join(out_dir, "codes.npy"), mode="w+", dtype=np.int8,
+            shape=(n + pad, d))
+        for b0 in range(0, n, chunk_rows):
+            b1 = min(b0 + chunk_rows, n)
+            mm[b0:b1] = codes_int8[order[b0:b1]]
+        mm[n:] = 0
+        mm.flush()
+        del mm
+        np.save(os.path.join(out_dir, "centroids.npy"),
+                np.asarray(centroids, np.float32))
+        np.save(os.path.join(out_dir, "row_perm.npy"), np.concatenate(
+            [order, np.zeros(pad, order.dtype)]).astype(np.int64))
+        np.save(os.path.join(out_dir, "list_offsets.npy"), list_offsets)
+        extra = {"cfg": cfg, "rotation": None, "pq": None,
+                 "offset": float(offset), "scale": float(scale),
+                 "n_total": int(n), "int4_offset": INT4_OFFSET,
+                 "int4_scale": INT4_SCALE}
+        with open(os.path.join(out_dir, "ivf.pkl"), "wb") as f:
+            pickle.dump(extra, f)
+        return out_dir
+
     def _scan_contract(self, queries):
         """(q_score, offset, scale) for the union scans.
 
@@ -1579,14 +1632,18 @@ class IVFIndex:
             pickle.dump(extra, f)
 
     @staticmethod
-    def load(path: str) -> "IVFIndex":
+    def load(path: str, drop_refine: bool = False) -> "IVFIndex":
+        """drop_refine: skip the int8 refine matrix entirely (no disk read,
+        no device upload) — the reconstruct-from-codes serve mode (MIPS
+        pq_serve; ref faiss reconstruct() serving, index.py:275-302)."""
         with open(os.path.join(path, "ivf.pkl"), "rb") as f:
             extra = pickle.load(f)
         refine_path = os.path.join(path, "refine_codes.npy")
         # big arrays load memory-mapped: the device upload streams from
         # disk and nothing is pinned in host RSS
         refine = (np.load(refine_path, mmap_mode="r")
-                  if os.path.exists(refine_path) else None)
+                  if os.path.exists(refine_path) and not drop_refine
+                  else None)
         return IVFIndex(
             extra["cfg"],
             np.load(os.path.join(path, "centroids.npy")),

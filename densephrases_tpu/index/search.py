@@ -267,8 +267,11 @@ class MIPS:
         stages["f2o_s"] = round(_time.perf_counter() - t, 3)
         t = _time.perf_counter()
         lens = np.diff(store.doc_bases).astype(np.int64)
-        doc_end_row = np.repeat(store.doc_bases[1:].astype(np.int64), lens)
-        doc_base_row = np.repeat(store.doc_bases[:-1].astype(np.int64), lens)
+        # int32 row ids: 2^31 rows x 768 B is ~1.6 TB of codes — far past
+        # one host; the sharded/tiered layers own anything bigger
+        rdt = np.int32 if store.n_vecs < 2**31 else np.int64
+        doc_end_row = np.repeat(store.doc_bases[1:].astype(rdt), lens)
+        doc_base_row = np.repeat(store.doc_bases[:-1].astype(rdt), lens)
         if self.tiered:
             self.vecs_dev = None
             self.f2o_host = f2o

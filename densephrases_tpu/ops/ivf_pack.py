@@ -68,6 +68,25 @@ TPB = 8          # blocks per scored tile
 TILE = RB * TPB  # rows per MXU matmul
 
 
+def _overflow_warn(total, guard: int, name: str):
+    """Debug-print when a batch's block total exceeds the guard tier
+    (silent truncation otherwise). jax.debug.print lowers to a host
+    callback, which some TPU transports (axon_pjrt) cannot execute —
+    there the guard-tier overflow stays silent unless DPH_TPU_CALLBACKS=1
+    opts in (real TPU runtimes support callbacks)."""
+    import os
+
+    if (jax.default_backend() == "tpu"
+            and os.environ.get("DPH_TPU_CALLBACKS", "0") != "1"):
+        return
+    jax.lax.cond(
+        total > guard,
+        lambda t: jax.debug.print(
+            name + ": block total {} exceeds guard tier "
+            + str(guard) + " -- candidate coverage truncated", t),
+        lambda t: None, total)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -222,12 +241,7 @@ def packed_union_scan(q_raw, centroids, list_offsets, codes, row_perm,
     # the guard tier may be SMEM-clamped below the true worst case
     # (IVFIndex._pack_budgets); when a batch actually exceeds it, coverage
     # truncates — make that observable instead of silent
-    jax.lax.cond(
-        total > budgets[-1],
-        lambda t: jax.debug.print(
-            "packed_union_scan: block total {} exceeds guard tier "
-            + str(budgets[-1]) + " -- candidate coverage truncated", t),
-        lambda t: None, total)
+    _overflow_warn(total, budgets[-1], "packed_union_scan")
 
     bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
     q_bf = jnp.zeros((bp, d), jnp.bfloat16).at[:b].set(
@@ -445,12 +459,7 @@ def packed_pq_scan(q_raw, q_rot, centroids, list_offsets, codes128, row_perm,
     cum = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(bc).astype(jnp.int32)])
     total = cum[u_n]
-    jax.lax.cond(
-        total > budgets[-1],
-        lambda t: jax.debug.print(
-            "packed_pq_scan: block total {} exceeds guard tier "
-            + str(budgets[-1]) + " -- candidate coverage truncated", t),
-        lambda t: None, total)
+    _overflow_warn(total, budgets[-1], "packed_pq_scan")
 
     bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
     lut = pq_lut(pq_books, q_rot).reshape(b, -1).astype(jnp.bfloat16)

@@ -78,6 +78,15 @@ def main():
                     help="override IVFConfig.refine_factor at search time "
                          "(rf16 buys recall@20 0.75 -> 0.96 at ~equal scan "
                          "cost per docs/IVF_SCALE.json)")
+    ap.add_argument("--serve_mode", default="refine",
+                    choices=("refine", "decode"),
+                    help="refine: int8 refine matrix resident + shared "
+                         "with the rescore stage (the r4 serve). decode: "
+                         "NO int8 matrix anywhere on device — stage 1 is "
+                         "pure PQ, stage 2 decodes candidate windows from "
+                         "the residual codes (ref reconstruct() serving, "
+                         "index.py:275-302) — the quantizer's true memory "
+                         "point")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--top_k", type=int, default=10)
     ap.add_argument("--workdir", default=None,
@@ -211,16 +220,18 @@ def main():
 
     # ---------------- phase B: serve over the IVF index -------------
     t0 = time.perf_counter()
-    ivf = IVFIndex.load(idx_dir)
+    ivf = IVFIndex.load(idx_dir, drop_refine=args.serve_mode == "decode")
     if args.rf is not None:
         ivf.cfg.refine_factor = args.rf
         res["refine_factor"] = args.rf
+    res["serve_mode"] = args.serve_mode
     mips = MIPS(store, index=ivf)
     res["mips_init_s"] = round(time.perf_counter() - t0, 2)
     res["mips_init_stages"] = mips.init_stages
     res["shared_refine_rescore"] = bool(
         getattr(ivf, "refine_codes", None) is not None
         and mips.vecs_dev is ivf.refine_codes)
+    res["pq_decode_rescore"] = mips.pq_serve is not None
     dp = DensePhrases(params, config, tok, mips, max_query_length=32,
                       serve_dtype="bf16")
     del params  # bf16-resident copy inside dp; drop the 1.3 GB f32 originals
@@ -295,10 +306,42 @@ def main():
         "rescore_assemble_b64": round(rescore_assemble_ms, 2),
     }
 
+    # ---- device-resident bytes: every device array the serve holds
+    # (the memory-point claim of the decode mode is exactly this number)
+    seen = set()
+    dev_bytes = 0
+    cands = [ivf.codes, ivf._codes128_cache, ivf.centroids, ivf.row_perm,
+             ivf.list_offsets, ivf.refine_codes, ivf.pq_books,
+             ivf.rotation, mips.vecs_dev, mips.f2o_dev,
+             getattr(mips, "doc_end_dev", None),
+             getattr(mips, "doc_base_dev", None)]
+    if mips.pq_serve:
+        cands += [mips.pq_serve.get(k) for k in
+                  ("codes", "books", "inv_perm", "row_list", "c_rot",
+                   "rot")]
+    for x in cands:
+        if isinstance(x, jax.Array) and id(x) not in seen:
+            seen.add(id(x))
+            dev_bytes += x.nbytes
+    res["device_resident_bytes"] = int(dev_bytes)
+    res["device_resident_gb"] = round(dev_bytes / 2**30, 2)
+
     out = os.path.abspath(args.out)
     os.makedirs(os.path.dirname(out), exist_ok=True)
+    key = (f"{args.quant}"
+           + (f"_rf{args.rf}" if args.rf is not None else "")
+           + f"_p{args.nprobe}_{args.serve_mode}")
+    blob = {}
+    if os.path.exists(out):
+        try:
+            blob = json.load(open(out))
+        except Exception:
+            blob = {}
+    if "rows" not in blob:
+        blob = {"rows": ({"r4_legacy": blob} if blob else {})}
+    blob["rows"][key] = res
     with open(out, "w") as f:
-        json.dump(res, f, indent=1)
+        json.dump(blob, f, indent=1)
     print(json.dumps(res))
 
 

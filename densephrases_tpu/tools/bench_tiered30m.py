@@ -1,0 +1,212 @@
+"""Beyond-HBM serving artifact: ≥30M rows (>16 GB int8) on ONE v5e chip.
+
+The reference's production regime is a 60–74 GB index served from host
+RAM / on-disk invlists (ref: README.md:171-178; OnDiskInvertedLists
+build_phrase_index.py:282-338, IO_FLAG_ONDISK_SAME_DIR index.py:28-30).
+This tool builds the TPU equivalent at 30M x 768 (23 GB int8 — 1.4x the
+chip's entire HBM) and serves it with TieredIVF: coarse centroids on
+device, inverted lists on a host memmap, probed lists streamed
+host→device per batch.
+
+Pipeline (every stage cached/resumable):
+ 1. host-side corpus generation (clustered Gaussians, int8 memmap —
+    device generation cannot hold 23 GB, and D2H streaming of a device
+    corpus is tunnel-bound);
+ 2. exact ground truth by chunked host BLAS;
+ 3. IVFIndex.build_host_save — coarse train/assign on device (streamed),
+    sorted-list layout written memmap→memmap, never device-resident;
+ 4. TieredIVF serve: recall@20 + q/s at p16/p64, device-resident bytes.
+
+Run: python -m densephrases_tpu.tools.bench_tiered30m
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE  # noqa: E402
+
+
+def gen_corpus_host(path: str, n: int, d: int, n_clusters: int = 4096,
+                    seed: int = 7, block: int = 1 << 19) -> None:
+    """Clustered-Gaussian int8 corpus straight into a memmap (the
+    bench_ivf_scale recipe, host-side and resumable)."""
+    if os.path.exists(path + ".done"):
+        return
+    rng0 = np.random.default_rng(seed)
+    centers = (rng0.normal(size=(n_clusters, d)) - 2.0).astype(np.float32)
+    prog = path + ".progress"
+    start = 0
+    if os.path.exists(path) and os.path.exists(prog):
+        try:
+            start = int(open(prog).read().split()[0])
+        except (ValueError, OSError):
+            start = 0
+    mm = np.lib.format.open_memmap(
+        path, mode="r+" if start else "w+", dtype=np.int8, shape=(n, d))
+    t0 = time.perf_counter()
+    for b0 in range(start, n, block):
+        b1 = min(b0 + block, n)
+        rng = np.random.default_rng((seed, b0))
+        idx = rng.integers(0, n_clusters, b1 - b0)
+        x = centers[idx] + 0.3 * rng.normal(
+            size=(b1 - b0, d)).astype(np.float32)
+        mm[b0:b1] = np.clip(
+            np.round((x - DEFAULT_OFFSET) * DEFAULT_SCALE),
+            -128, 127).astype(np.int8)
+        mm.flush()
+        with open(prog, "w") as f:
+            f.write(f"{b1}\n")
+        if (b0 // block) % 8 == 0:
+            print(f"  gen {b1:,}/{n:,} ({time.perf_counter() - t0:.0f}s)",
+                  flush=True)
+    del mm
+    with open(path + ".done", "w") as f:
+        f.write(f"{n} {d}\n")
+    if os.path.exists(prog):
+        os.remove(prog)
+
+
+def exact_gt(corpus, queries, path: str, k: int = 20):
+    if os.path.exists(path):
+        return np.load(path)["ids"]
+    n = corpus.shape[0]
+    qsum = queries.sum(1, keepdims=True) * DEFAULT_OFFSET
+    best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
+    best_i = np.zeros((queries.shape[0], k), np.int64)
+    t0 = time.perf_counter()
+    for c0 in range(0, n, 1 << 20):
+        blk = np.ascontiguousarray(
+            corpus[c0:c0 + (1 << 20)]).astype(np.float32)
+        s = queries @ blk.T / DEFAULT_SCALE + qsum
+        part = np.argpartition(s, -k, axis=1)[:, -k:]
+        cat_s = np.concatenate(
+            [best_s, np.take_along_axis(s, part, axis=1)], axis=1)
+        cat_i = np.concatenate([best_i, part + c0], axis=1)
+        sel = np.argpartition(cat_s, -k, axis=1)[:, -k:]
+        best_s = np.take_along_axis(cat_s, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+        if (c0 >> 20) % 8 == 0:
+            print(f"  gt {c0 + (1 << 20):,}/{n:,} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    np.savez(path, ids=best_i)
+    return best_i
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s %(name)s: %(message)s")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=30 << 20)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--nlist", type=int, default=131072)
+    ap.add_argument("--probes", default="16,64")
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--block_rows", type=int, default=1 << 18)
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "..", "docs", "BENCH_IVF.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.index.tiered import TieredIVF
+
+    workdir = args.workdir or os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "cache"))
+    cpath = os.path.join(workdir, f"tiered_corpus_{args.n}x{args.d}.npy")
+    print(f"corpus: {cpath}", flush=True)
+    t0 = time.perf_counter()
+    gen_corpus_host(cpath, args.n, args.d)
+    corpus = np.load(cpath, mmap_mode="r")
+    gen_s = round(time.perf_counter() - t0, 1)
+
+    rng = np.random.default_rng(1)
+    qids = np.sort(rng.integers(0, args.n, args.batch))
+    qrows = np.ascontiguousarray(corpus[qids]).astype(np.float32)
+    qrows = qrows / DEFAULT_SCALE + DEFAULT_OFFSET
+    qrows += 0.05 * rng.normal(size=qrows.shape).astype(np.float32)
+    print("ground truth ...", flush=True)
+    gt = exact_gt(corpus, qrows, cpath + ".gt20.npz")
+
+    idx_dir = os.path.join(
+        workdir, f"tiered_idx_SQ8_{args.n}x{args.d}_nl{args.nlist}")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(idx_dir, "save.done")):
+        print("building (host-save) ...", flush=True)
+        cfg = IVFConfig(num_clusters=args.nlist, fine_quant="SQ8",
+                        kmeans_iters=6,
+                        sample_ratio=min(1.0, 1.5e6 / args.n),
+                        balance_factor=4.0)
+        IVFIndex.build_host_save(
+            corpus, cfg, idx_dir,
+            coarse_cache=os.path.join(
+                workdir, f"tiered_coarse_{args.n}x{args.d}_{args.nlist}"),
+            verbose=True)
+        with open(os.path.join(idx_dir, "save.done"), "w") as f:
+            f.write("ok\n")
+    build_s = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    tivf = TieredIVF.load(idx_dir, block_rows=args.block_rows)
+    init_s = round(time.perf_counter() - t0, 2)
+
+    res = {"n": args.n, "d": args.d, "nlist": args.nlist,
+           "corpus_bytes": int(args.n) * int(args.d),
+           "corpus_gb": round(args.n * args.d / 2**30, 1),
+           "gen_s": gen_s, "build_s": build_s, "init_s": init_s,
+           "device_resident_bytes": int(
+               np.asarray(tivf.centroids).nbytes),
+           "backend": jax.default_backend(),
+           "serve": "TieredIVF (host memmap invlists, streamed blocks)"}
+
+    def recall(ids):
+        return float(np.mean([
+            len(set(a.tolist()) & set(g.tolist())) / gt.shape[1]
+            for a, g in zip(ids, gt)]))
+
+    for p in (int(x) for x in args.probes.split(",")):
+        _, ids = tivf.search(qrows, top_k=20, nprobe=p)
+        times = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            tivf.search(qrows, top_k=20, nprobe=p)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        el = times[len(times) // 2]
+        res[f"p{p}"] = {
+            "recall20_b64": round(recall(ids), 4),
+            "batch_s": round(el, 3),
+            "qps": round(args.batch / el, 1),
+            "windows_s": [round(t, 3) for t in times],
+        }
+        print(f"p{p}: {res[f'p{p}']}", flush=True)
+
+    out = os.path.abspath(args.out)
+    blob = {}
+    if os.path.exists(out):
+        try:
+            blob = json.load(open(out))
+        except Exception:
+            blob = {}
+    if "rows" not in blob:
+        blob = {"rows": ({"r4_legacy": blob} if blob else {})}
+    blob["rows"][f"tiered_{args.n >> 20}M_SQ8"] = res
+    with open(out, "w") as f:
+        json.dump(blob, f, indent=1)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()

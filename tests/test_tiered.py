@@ -212,3 +212,33 @@ def test_tiered_vecs_on_device_matches_attached(tmp_path):
                                        r_ref["start_vec"], atol=1e-5)
             np.testing.assert_allclose(np.asarray(ev[bi, col]),
                                        r_ref["end_vec"], atol=1e-5)
+
+
+def test_build_host_save_matches_device_build(tmp_path):
+    """The beyond-HBM host-save build must write a directory equivalent
+    to the normal build's save(): same layout arrays, and both
+    TieredIVF and IVFIndex serve it with the same results."""
+    import numpy as np
+
+    from densephrases_tpu.index.ivf import IVFConfig, IVFIndex
+    from densephrases_tpu.index.tiered import TieredIVF
+    from densephrases_tpu.ops.quant import float_to_int8
+
+    rng = np.random.default_rng(3)
+    codes = float_to_int8(rng.normal(size=(2000, 64)).astype(np.float32)
+                          * 0.4)
+    cfg = IVFConfig(num_clusters=16, fine_quant="SQ8", kmeans_iters=4,
+                    seed=5)
+    dev_dir, host_dir = str(tmp_path / "dev"), str(tmp_path / "host")
+    IVFIndex.build(codes, cfg).save(dev_dir)
+    IVFIndex.build_host_save(codes, cfg, host_dir)
+    for name in ("centroids", "row_perm", "list_offsets", "codes"):
+        a = np.load(f"{dev_dir}/{name}.npy")
+        b = np.load(f"{host_dir}/{name}.npy")
+        np.testing.assert_array_equal(a, b)
+
+    q = rng.normal(size=(4, 64)).astype(np.float32)
+    v1, i1 = IVFIndex.load(host_dir).search(q, top_k=10, nprobe=16)
+    v2, i2 = TieredIVF.load(host_dir).search(q, top_k=10, nprobe=16)
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(v1, v2, atol=1e-3)
