@@ -341,8 +341,8 @@ def _pq_group(m: int) -> int:
 
 
 def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
-                          m: int, mg: int, pad_blk: int):
-    """Grid (T_tiles, TPB). Copies one 32-row code block per step into the
+                          m: int, mg: int, tpb: int, pad_blk: int):
+    """Grid (T_tiles, tpb). Copies one 32-row code block per step into the
     persistent VMEM tile; on the tile's last block, scores the tile against
     the VMEM-resident LUT with M//mg one-hot MXU contractions.
 
@@ -351,18 +351,36 @@ def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
     t = pl.program_id(0)
     b = pl.program_id(1)
 
-    @pl.when(blk_ref[t * TPB + b] != pad_blk)
+    @pl.when(blk_ref[t * tpb + b] != pad_blk)
     def _():
         tile_ref[pl.ds(b * RB, RB), :] = codes_ref[:]
 
-    @pl.when((b == TPB - 1) & (blk_ref[t * TPB] != pad_blk))
+    @pl.when((b == tpb - 1) & (blk_ref[t * tpb] != pad_blk))
     def _():
+        import os
+
+        rows = tile_ref.shape[0]
         acc = jnp.zeros(out_ref.shape, jnp.float32)
+        oh_mode = os.environ.get("DPH_PQ_OH", "repeat")
+        # k pattern for the 2D repeat one-hot: pltpu.repeat is a TILE
+        # repeat (col j of a group = sub[:, j % mg]), so col j covers
+        # (subspace j % mg, code j // mg) — the caller permutes the LUT
+        # into the same k-major-within-group layout
+        kpat = jax.lax.broadcasted_iota(jnp.int32, (1, mg * 256), 1) // mg
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
         for g in range(m // mg):
             sub = tile_ref[:, g * mg:(g + 1) * mg].astype(jnp.int32)
-            iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, mg, 256), 2)
-            oh = (sub[..., None] == iota).astype(jnp.bfloat16).reshape(
-                TILE, mg * 256)
+            if oh_mode == "repeat":
+                # build the one-hot directly in 2D: tile-repeat the codes
+                # 256x and compare against the k pattern — no 3D->2D
+                # reshape relayout on the [rows, mg*256] bf16 tensor
+                rep = pltpu.repeat(sub, 256, axis=1)  # [rows, mg*256]
+                oh = (rep == kpat).astype(jnp.bfloat16)
+            else:
+                # int32 minor-dim insert (Mosaic supports it for 32-bit
+                # only) + merge reshape — the fallback formulation
+                oh = (sub[..., None] == iota3).astype(
+                    jnp.bfloat16).reshape(rows, mg * 256)
             acc = acc + jax.lax.dot_general(
                 lut_ref[:, g * mg * 256:(g + 1) * mg * 256], oh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
@@ -370,34 +388,54 @@ def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
         out_ref[:] = acc
 
 
+def _pq_tpb() -> int:
+    """Blocks per scored PQ tile (tile rows = 32*tpb). Deeper tiles mean
+    fewer grid steps and fatter MXU matmuls at more VMEM."""
+    import os
+
+    return max(1, int(os.environ.get("DPH_PQ_TPB", "8")))
+
+
 def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
                    interpret: bool = False):
     """lut_bf [B_pad, M*256] bf16, codes128 [N_pad, 128] uint8 lane-padded
     codes (N_pad % 32 == 0), blk [budget] int32 block table →
     raw LUT scores [B_pad, budget*RB] f32."""
+    import os
+
     bp = lut_bf.shape[0]
-    n_tiles = budget // TPB
+    tpb = _pq_tpb()
+    while budget % tpb:
+        tpb //= 2
+    tile = RB * tpb
+    n_tiles = budget // tpb
     lanes = codes128.shape[1]
     pad_blk = codes128.shape[0] // RB - 1
+    mg = _pq_group(m)
+    if os.environ.get("DPH_PQ_OH", "repeat") == "repeat":
+        # permute the LUT into the repeat one-hot's k-major-within-group
+        # layout: group g, col j <-> LUT[:, g*mg + j % mg, j // mg]
+        lut_bf = lut_bf.reshape(bp, m // mg, mg, 256).swapaxes(
+            2, 3).reshape(bp, m * 256)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles, TPB),
+        grid=(n_tiles, tpb),
         in_specs=[
             pl.BlockSpec((bp, m * 256), lambda t, b, blk_ref: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, lanes),
-                         lambda t, b, blk_ref: (blk_ref[t * TPB + b], 0),
+                         lambda t, b, blk_ref: (blk_ref[t * tpb + b], 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bp, TILE), lambda t, b, blk_ref: (0, t),
+        out_specs=pl.BlockSpec((bp, tile), lambda t, b, blk_ref: (0, t),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE, lanes), codes128.dtype)],
+        scratch_shapes=[pltpu.VMEM((tile, lanes), codes128.dtype)],
     )
     return pl.pallas_call(
-        functools.partial(_pq_pack_score_kernel, m=m, mg=_pq_group(m),
-                          pad_blk=pad_blk),
-        out_shape=jax.ShapeDtypeStruct((bp, n_tiles * TILE), jnp.float32),
+        functools.partial(_pq_pack_score_kernel, m=m, mg=mg,
+                          tpb=tpb, pad_blk=pad_blk),
+        out_shape=jax.ShapeDtypeStruct((bp, n_tiles * tile), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
     )(blk, lut_bf, codes128)

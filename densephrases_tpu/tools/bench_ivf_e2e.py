@@ -79,14 +79,17 @@ def main():
                          "(rf16 buys recall@20 0.75 -> 0.96 at ~equal scan "
                          "cost per docs/IVF_SCALE.json)")
     ap.add_argument("--serve_mode", default="refine",
-                    choices=("refine", "decode"),
+                    choices=("refine", "decode", "host_refine"),
                     help="refine: int8 refine matrix resident + shared "
                          "with the rescore stage (the r4 serve). decode: "
                          "NO int8 matrix anywhere on device — stage 1 is "
                          "pure PQ, stage 2 decodes candidate windows from "
                          "the residual codes (ref reconstruct() serving, "
                          "index.py:275-302) — the quantizer's true memory "
-                         "point")
+                         "point. host_refine: decode-mode device footprint "
+                         "but stage-1 candidates exactly re-ranked against "
+                         "the host-memmapped int8 matrix (recall of the "
+                         "refine serve at ~code-bytes HBM)")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--top_k", type=int, default=10)
     ap.add_argument("--workdir", default=None,
@@ -220,7 +223,9 @@ def main():
 
     # ---------------- phase B: serve over the IVF index -------------
     t0 = time.perf_counter()
-    ivf = IVFIndex.load(idx_dir, drop_refine=args.serve_mode == "decode")
+    mode_map = {"refine": "device", "decode": "none",
+                "host_refine": "host"}
+    ivf = IVFIndex.load(idx_dir, refine_mode=mode_map[args.serve_mode])
     if args.rf is not None:
         ivf.cfg.refine_factor = args.rf
         res["refine_factor"] = args.rf

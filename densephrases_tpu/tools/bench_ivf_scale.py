@@ -219,6 +219,10 @@ def main():
                     help="fori-loop repeats for amortized timings")
     ap.add_argument("--probes", default="16,64,256",
                     help="comma list of nprobe values to measure")
+    ap.add_argument("--no_grouped", action="store_true",
+                    help="skip the grouped fixed-cap comparison scans "
+                         "entirely (they cost minutes and the PQ ones "
+                         "can crash the TPU worker)")
     ap.add_argument("--grouped_budget_ms", type=float, default=20000.0,
                     help="max single-dispatch wall budget for the grouped "
                          "baseline's fori-loop (a >~30 s dispatch can crash "
@@ -556,7 +560,15 @@ def main():
                         q64, top_k=20, nprobe=nprobe, reps=args.reps),
                     args.reps, floor_ms), 2),
             }
-            if ivf._packed_ok or ivf._pq_block_ok:
+            qres[pkey] = ent  # flush the packed row before the grouped
+            flush()           # probe (which can crash the TPU worker)
+            if (ivf._packed_ok or ivf._pq_block_ok) \
+                    and not args.no_grouped \
+                    and not (ivf.pq_books is not None and nprobe >= 64):
+                # PQ grouped scans at nprobe>=64 have crashed the TPU
+                # worker EVERY attempt at 10.5M (r4 twice, r5 once — the
+                # ~1.6 s single dispatch exceeds the worker's tolerance);
+                # the comparison is measured at p16 only.
                 # grouped (fixed-cap dynamic_slice) formulation, same
                 # probes/candidates semantics modulo the union superset —
                 # the read-amplification comparison. The grouped PQ scan

@@ -253,3 +253,18 @@ def test_pq_pallas_no_refine_path():
     idx._pq_pallas = False
     vx, ix = idx.search_union(q, top_k=15, nprobe=6)
     np.testing.assert_allclose(vp, vx, atol=1e-3, rtol=0)
+
+
+def test_pq_host_refine_matches_device_refine():
+    """refine_mode=host (memmap int8 on the host, numpy re-rank) must
+    return the same ids as the device refine path — the PQ memory-point
+    serve's recall claim rides on this equivalence."""
+    idx = _build_pq(refine_factor=8, fine_quant="OPQ16")
+    q = _queries(b=8, seed=13)
+    vd, gd = idx.search_union(q, top_k=10, nprobe=8)
+    # move the refine matrix to the host tier
+    idx.refine_host = np.asarray(idx.refine_codes)
+    idx.refine_codes = None
+    vh, gh = idx.search_union(q, top_k=10, nprobe=8)
+    assert (gd == gh).mean() > 0.95  # ties may swap order
+    np.testing.assert_allclose(vd, vh, atol=0.2, rtol=0)  # bf16 vs f32
