@@ -9,10 +9,10 @@ device, inverted lists on a host memmap, probed lists streamed
 host→device per batch.
 
 Pipeline (every stage cached/resumable):
- 1. host-side corpus generation (clustered Gaussians, int8 memmap —
-    device generation cannot hold 23 GB, and D2H streaming of a device
-    corpus is tunnel-bound);
- 2. exact ground truth by chunked host BLAS;
+ 1. corpus generation ON DEVICE in 2M-row chunks, streamed D2H into an
+    int8 memmap (the whole 23 GB never device-resident; the single-core
+    host cannot generate 24 GB in reasonable time);
+ 2. exact ground truth by chunked DEVICE scans (H2D stream + MXU);
  3. IVFIndex.build_host_save — coarse train/assign on device (streamed),
     sorted-list layout written memmap→memmap, never device-resident;
  4. TieredIVF serve: recall@20 + q/s at p16/p64, device-resident bytes.
@@ -21,6 +21,7 @@ Run: python -m densephrases_tpu.tools.bench_tiered30m
 """
 
 import argparse
+import functools
 import json
 import logging
 import os
@@ -34,10 +35,129 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE  # noqa: E402
 
 
+def gen_corpus_device_stream(path: str, n: int, d: int, qids: np.ndarray,
+                             n_clusters: int = 4096, seed: int = 7,
+                             chunk: int = 1 << 21):
+    """Clustered-Gaussian int8 corpus generated ON DEVICE in chunks and
+    streamed D2H into a memmap; returns the raw int8 rows at ``qids``.
+
+    The host here has ONE core: host-side generation of 24 GB measures
+    ~4 h, while device generation is minutes and the D2H stream runs at
+    tunnel bandwidth (~400 MB/s). Distribution matches the host
+    generator this replaces: centers ~ N(-2, 1), members =
+    center + 0.3 N(0, 1), affine int8 quantization. Resumable at chunk
+    granularity."""
+    import jax
+    import jax.numpy as jnp
+
+    assert n % chunk == 0
+    key = jax.random.PRNGKey(seed)
+    kc, kb = jax.random.split(key)
+
+    @functools.partial(jax.jit, static_argnums=(1,))
+    def gen_chunk(ci, rows):
+        centers = jax.random.normal(kc, (n_clusters, d), jnp.float32) - 2.0
+        kci = jax.random.fold_in(kb, ci)
+        ki, kn = jax.random.split(kci)
+        idx = jax.random.randint(ki, (rows,), 0, n_clusters)
+        x = centers[idx] + 0.3 * jax.random.normal(kn, (rows, d),
+                                                   jnp.float32)
+        q = jnp.clip(jnp.round((x - DEFAULT_OFFSET) * DEFAULT_SCALE),
+                     -128, 127).astype(jnp.int8)
+        return q
+
+    qids = np.asarray(qids, np.int64)
+    done = os.path.exists(path + ".done")
+    prog = path + ".progress"
+    start_c = 0
+    if not done and os.path.exists(path) and os.path.exists(prog):
+        try:
+            start_c = int(open(prog).read().split()[0])
+        except (ValueError, OSError):
+            start_c = 0
+    mm = None
+    if not done:
+        mm = np.lib.format.open_memmap(
+            path, mode="r+" if start_c else "w+", dtype=np.int8,
+            shape=(n, d))
+    qrows = np.zeros((len(qids), d), np.int8)
+    t0 = time.perf_counter()
+    for ci in range(n // chunk):
+        c0 = ci * chunk
+        sel = (qids >= c0) & (qids < c0 + chunk)
+        if done or ci < start_c:
+            if sel.any():  # query rows from the already-written memmap
+                src = np.load(path, mmap_mode="r")
+                qrows[sel] = src[qids[sel]]
+            continue
+        blk = gen_chunk(ci, chunk)
+        host = np.asarray(blk)  # D2H at tunnel bandwidth
+        mm[c0:c0 + chunk] = host
+        mm.flush()
+        if sel.any():
+            qrows[sel] = host[qids[sel] - c0]
+        with open(prog, "w") as f:
+            f.write(f"{ci + 1}\n")
+        print(f"  gen {c0 + chunk:,}/{n:,} "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    if mm is not None:
+        del mm
+        with open(path + ".done", "w") as f:
+            f.write(f"{n} {d}\n")
+        if os.path.exists(prog):
+            os.remove(prog)
+    return qrows
+
+
+def exact_gt_device(corpus_path: str, queries: np.ndarray, path: str,
+                    k: int = 20, chunk: int = 1 << 21):
+    """Exact top-k by chunked DEVICE scans: upload each corpus chunk H2D,
+    one bf16 MXU matmul per chunk, running top-k merge on host (tiny).
+    The single-core host needs ~40 min of BLAS for this; the device does
+    it in ~the 24 GB H2D stream time."""
+    if os.path.exists(path):
+        return np.load(path)["ids"]
+    import jax
+    import jax.numpy as jnp
+
+    corpus = np.load(corpus_path, mmap_mode="r")
+    n = corpus.shape[0]
+    q_dev = jnp.asarray(queries, jnp.float32)
+    qsum = queries.sum(1) * DEFAULT_OFFSET
+
+    @jax.jit
+    def score_chunk(blk):
+        s = jnp.einsum("bd,nd->bn", q_dev.astype(jnp.bfloat16),
+                       blk.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
+        return jax.lax.top_k(s / DEFAULT_SCALE, k)
+
+    best_s = np.full((queries.shape[0], k), -np.inf, np.float32)
+    best_i = np.zeros((queries.shape[0], k), np.int64)
+    t0 = time.perf_counter()
+    for c0 in range(0, n, chunk):
+        blk = jnp.asarray(np.ascontiguousarray(corpus[c0:c0 + chunk]))
+        sv, si = score_chunk(blk)
+        sv = np.asarray(sv) + qsum[:, None]
+        si = np.asarray(si, np.int64) + c0
+        cat_s = np.concatenate([best_s, sv], axis=1)
+        cat_i = np.concatenate([best_i, si], axis=1)
+        sel = np.argpartition(cat_s, -k, axis=1)[:, -k:]
+        best_s = np.take_along_axis(cat_s, sel, axis=1)
+        best_i = np.take_along_axis(cat_i, sel, axis=1)
+        if (c0 // chunk) % 4 == 0:
+            print(f"  gt {c0 + chunk:,}/{n:,} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    np.savez(path, ids=best_i)
+    return best_i
+
+
 def gen_corpus_host(path: str, n: int, d: int, n_clusters: int = 4096,
                     seed: int = 7, block: int = 1 << 19) -> None:
     """Clustered-Gaussian int8 corpus straight into a memmap (the
-    bench_ivf_scale recipe, host-side and resumable)."""
+    bench_ivf_scale recipe, host-side and resumable; ~4 h at 24 GB on a
+    single-core host — kept for hosts with real core counts, see
+    gen_corpus_device_stream)."""
     if os.path.exists(path + ".done"):
         return
     rng0 = np.random.default_rng(seed)
@@ -110,6 +230,8 @@ def main():
     ap.add_argument("--probes", default="16,64")
     ap.add_argument("--batch", type=int, default=64)
     ap.add_argument("--block_rows", type=int, default=1 << 18)
+    ap.add_argument("--chunk", type=int, default=1 << 21,
+                    help="device gen/GT chunk rows (n must divide)")
     ap.add_argument("--workdir", default=None)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "..", "docs", "BENCH_IVF.json"))
@@ -128,17 +250,18 @@ def main():
     cpath = os.path.join(workdir, f"tiered_corpus_{args.n}x{args.d}.npy")
     print(f"corpus: {cpath}", flush=True)
     t0 = time.perf_counter()
-    gen_corpus_host(cpath, args.n, args.d)
+    rng = np.random.default_rng(1)
+    qids = np.sort(rng.integers(0, args.n, args.batch))
+    qrows_raw = gen_corpus_device_stream(cpath, args.n, args.d, qids,
+                                         chunk=args.chunk)
     corpus = np.load(cpath, mmap_mode="r")
     gen_s = round(time.perf_counter() - t0, 1)
 
-    rng = np.random.default_rng(1)
-    qids = np.sort(rng.integers(0, args.n, args.batch))
-    qrows = np.ascontiguousarray(corpus[qids]).astype(np.float32)
-    qrows = qrows / DEFAULT_SCALE + DEFAULT_OFFSET
+    qrows = qrows_raw.astype(np.float32) / DEFAULT_SCALE + DEFAULT_OFFSET
     qrows += 0.05 * rng.normal(size=qrows.shape).astype(np.float32)
     print("ground truth ...", flush=True)
-    gt = exact_gt(corpus, qrows, cpath + ".gt20.npz")
+    gt = exact_gt_device(cpath, qrows, cpath + ".gt20.npz",
+                         chunk=args.chunk)
 
     idx_dir = os.path.join(
         workdir, f"tiered_idx_SQ8_{args.n}x{args.d}_nl{args.nlist}")
