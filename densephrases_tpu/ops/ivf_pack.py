@@ -361,24 +361,36 @@ def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
 
         rows = tile_ref.shape[0]
         acc = jnp.zeros(out_ref.shape, jnp.float32)
-        oh_mode = os.environ.get("DPH_PQ_OH", "repeat")
+        oh_mode = os.environ.get("DPH_PQ_OH", "repeat8")
+        iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
         # k pattern for the 2D repeat one-hot: pltpu.repeat is a TILE
         # repeat (col j of a group = sub[:, j % mg]), so col j covers
         # (subspace j % mg, code j // mg) — the caller permutes the LUT
         # into the same k-major-within-group layout
-        kpat = jax.lax.broadcasted_iota(jnp.int32, (1, mg * 256), 1) // mg
-        iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
         for g in range(m // mg):
-            sub = tile_ref[:, g * mg:(g + 1) * mg].astype(jnp.int32)
-            if oh_mode == "repeat":
-                # build the one-hot directly in 2D: tile-repeat the codes
-                # 256x and compare against the k pattern — no 3D->2D
-                # reshape relayout on the [rows, mg*256] bf16 tensor
+            if oh_mode == "repeat8":
+                # uint8 repeat + uint8 compare: the one-hot build is
+                # VMEM-bandwidth-bound, not ALU-bound — the int32 form
+                # below moves ~10 MB of VMEM per group (4 MB rep write +
+                # 4 MB read + 2 MB bf16 store) vs ~4 MB here. Code
+                # values and the k pattern both fit uint8 (0..255).
+                sub8 = tile_ref[:, g * mg:(g + 1) * mg]  # uint8 codes
+                rep = pltpu.repeat(sub8, 256, axis=1)    # [rows, mg*256]
+                kpat8 = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, mg * 256), 1) // mg).astype(jnp.uint8)
+                oh = (rep == kpat8).astype(jnp.bfloat16)
+            elif oh_mode == "repeat":
+                # int32 tile-repeat + compare — no 3D->2D reshape
+                # relayout on the [rows, mg*256] bf16 tensor
+                sub = tile_ref[:, g * mg:(g + 1) * mg].astype(jnp.int32)
+                kpat = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, mg * 256), 1) // mg
                 rep = pltpu.repeat(sub, 256, axis=1)  # [rows, mg*256]
                 oh = (rep == kpat).astype(jnp.bfloat16)
             else:
                 # int32 minor-dim insert (Mosaic supports it for 32-bit
                 # only) + merge reshape — the fallback formulation
+                sub = tile_ref[:, g * mg:(g + 1) * mg].astype(jnp.int32)
                 oh = (sub[..., None] == iota3).astype(
                     jnp.bfloat16).reshape(rows, mg * 256)
             acc = acc + jax.lax.dot_general(
@@ -412,7 +424,7 @@ def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
     lanes = codes128.shape[1]
     pad_blk = codes128.shape[0] // RB - 1
     mg = _pq_group(m)
-    if os.environ.get("DPH_PQ_OH", "repeat") == "repeat":
+    if os.environ.get("DPH_PQ_OH", "repeat8").startswith("repeat"):
         # permute the LUT into the repeat one-hot's k-major-within-group
         # layout: group g, col j <-> LUT[:, g*mg + j % mg, j // mg]
         lut_bf = lut_bf.reshape(bp, m // mg, mg, 256).swapaxes(

@@ -1,0 +1,121 @@
+"""PQ packed-scan kernel sweep: one-hot formulation x tile depth.
+
+The Pallas PQ scan (ops/ivf_pack.packed_pq_scan) builds its one-hot LUT
+contraction on-chip; the build is VMEM-bandwidth-bound and the tile
+matmul's efficiency depends on tile depth. This tool sweeps the two
+knobs (DPH_PQ_OH: repeat8 | repeat | iota3; DPH_PQ_TPB: blocks per
+scored tile) over the CACHED 10.5M OPQ96 index, verifies every variant
+returns identical ids, and records amortized b64 timings.
+
+Writes a ``pq_kernel_sweep`` section into docs/IVF_SCALE.json.
+
+Run: python -m densephrases_tpu.tools.bench_pq_kernel
+"""
+
+import argparse
+import json
+import logging
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from densephrases_tpu.ops.quant import DEFAULT_OFFSET, DEFAULT_SCALE  # noqa: E402
+
+
+def main():
+    logging.basicConfig(level=logging.INFO, force=True,
+                        format="%(asctime)s %(name)s: %(message)s")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=10 << 20)
+    ap.add_argument("--d", type=int, default=768)
+    ap.add_argument("--quant", default="OPQ96")
+    ap.add_argument("--nprobe", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=16)
+    ap.add_argument("--refine_factor", type=int, default=16)
+    ap.add_argument("--configs", default=(
+        "repeat8:8,repeat8:16,repeat8:32,repeat:8,iota3:8"))
+    ap.add_argument("--workdir", default=None)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(__file__), "..", "..", "docs", "IVF_SCALE.json"))
+    args = ap.parse_args()
+
+    import jax
+
+    from densephrases_tpu.index.ivf import IVFIndex
+
+    workdir = args.workdir or os.path.normpath(os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", "cache"))
+    idx_dir = os.path.join(
+        workdir, f"ivf_scale_idx_{args.quant}_{args.n}x{args.d}")
+    assert os.path.exists(os.path.join(idx_dir, "save.done")), idx_dir
+
+    cache = os.path.join(workdir, f"ivf_scale_corpus_{args.n}x{args.d}.npy")
+    host_codes = np.load(cache, mmap_mode="r")
+    rng = np.random.default_rng(1)
+    qids = np.sort(rng.integers(0, args.n, 65))
+    qrows = np.ascontiguousarray(host_codes[qids]).astype(np.float32)
+    qrows = qrows / DEFAULT_SCALE + DEFAULT_OFFSET
+    qrows += 0.05 * rng.normal(size=qrows.shape).astype(np.float32)
+    q64 = qrows[1:]
+
+    ivf = IVFIndex.load(idx_dir)
+    ivf.cfg.refine_factor = args.refine_factor
+
+    def dispatch_floor():
+        import jax.numpy as jnp
+        x = jnp.zeros((8, 128), jnp.float32)
+        f = jax.jit(lambda v: v + 1)
+        jax.block_until_ready(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(x))
+            ts.append(time.perf_counter() - t0)
+        ts.sort()
+        return ts[len(ts) // 2] * 1000
+
+    floor_ms = dispatch_floor()
+    rows = {}
+    ref_ids = None
+    for spec in args.configs.split(","):
+        oh, tpb = spec.split(":")
+        os.environ["DPH_PQ_OH"] = oh
+        os.environ["DPH_PQ_TPB"] = tpb
+        jax.clear_caches()  # env vars are read at TRACE time
+        key = f"{oh}_tpb{tpb}"
+        try:
+            _, ids = ivf.search(q64, top_k=20, nprobe=args.nprobe)
+        except Exception as e:  # Mosaic lowering can reject a formulation
+            rows[key] = {"error": str(e)[:200]}
+            print(f"{key}: ERROR {e}", flush=True)
+            continue
+        if ref_ids is None:
+            ref_ids = ids
+            same = True
+        else:
+            same = bool((ids == ref_ids).all())
+        t0 = time.perf_counter()
+        jax.block_until_ready(ivf.bench_union_repeat(
+            q64, top_k=20, nprobe=args.nprobe, reps=args.reps))
+        el = time.perf_counter() - t0
+        rep_ms = max((el * 1000 - floor_ms) / args.reps, 0.0)
+        rows[key] = {"rep_b64_ms": round(rep_ms, 2), "ids_match": same}
+        print(f"{key}: {rows[key]}", flush=True)
+
+    out = os.path.abspath(args.out)
+    blob = json.load(open(out)) if os.path.exists(out) else {}
+    blob["pq_kernel_sweep"] = {
+        "quant": args.quant, "nprobe": args.nprobe,
+        "refine_factor": args.refine_factor,
+        "dispatch_floor_ms": round(floor_ms, 2), **rows}
+    with open(out, "w") as f:
+        json.dump(blob, f, indent=1)
+    print(json.dumps(blob["pq_kernel_sweep"], indent=1))
+
+
+if __name__ == "__main__":
+    main()
