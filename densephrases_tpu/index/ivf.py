@@ -898,8 +898,28 @@ class IVFIndex:
         if self._codes128_cache is None:
             lanes = _round_up(int(self.codes.shape[1]), 128)
             self._codes128_cache = jnp.pad(
-                self.codes, ((0, 0), (0, lanes - int(self.codes.shape[1]))))
+                jnp.asarray(self.codes),
+                ((0, 0), (0, lanes - int(self.codes.shape[1]))))
         return self._codes128_cache
+
+    def compact_pq_serve(self) -> bool:
+        """PQ serve-footprint compaction: keep ONLY the lane-padded
+        Pallas codes on device and revert ``self.codes`` to the host
+        array. Without this a PQ serve holds BOTH copies in HBM
+        (M + 128 bytes/row instead of 128); with it, device code bytes
+        are exactly the Pallas scan's operand. Callers that still touch
+        ``self.codes`` (the pure-XLA fallback scans) pay a per-call
+        re-upload, so compaction only applies when the Pallas scan
+        serves this index."""
+        if (self.pq_books is None or not self._pq_block_ok
+                or not self._pq_pallas or not self.use_packed):
+            return False
+        host = self._host_arrays.get("codes")
+        if host is None or host.shape != tuple(self.codes.shape):
+            return False
+        _ = self._codes128  # materialize the padded device copy first
+        self.codes = host   # drop the device reference (frees M bytes/row)
+        return True
 
     # ------------------------------------------------------------- build
     @staticmethod

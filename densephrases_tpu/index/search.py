@@ -79,7 +79,10 @@ def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
 
         def fetch(rows):  # rows already clipped to [0, n)
             s = inv_perm[rows]
-            code = codes[s]  # [..., M] uint8
+            # codes may be the Pallas scan's lane-padded [N, 128] array
+            # (IVFIndex.compact_pq_serve keeps ONLY that copy on device);
+            # the real subspace count is books' M — slice the pad off
+            code = codes[s][..., :books.shape[0]]  # [..., M] uint8
             oh = (code[..., None].astype(jnp.int32)
                   == jax.lax.broadcasted_iota(
                       jnp.int32, code.shape + (books.shape[1],),
@@ -308,25 +311,40 @@ class MIPS:
                 # maps + rotated centroids the decoder needs.
                 self.vecs_dev = None
                 n_real = index.n_real
+                tt = _time.perf_counter()
                 rp = np.asarray(index.row_perm)[:n_real]
                 inv = np.empty(store.n_vecs, np.int32)
                 inv[rp] = np.arange(n_real, dtype=np.int32)
+                stages["pq_inv_perm_s"] = round(_time.perf_counter() - tt, 3)
+                tt = _time.perf_counter()
                 loffs = np.asarray(index.list_offsets)
                 row_list = (np.searchsorted(
                     loffs, np.arange(n_real, dtype=np.int64),
                     side="right") - 1).astype(np.int32)
+                stages["pq_row_list_s"] = round(_time.perf_counter() - tt, 3)
+                tt = _time.perf_counter()
                 cents = np.asarray(index.centroids)
                 rot = (None if index.rotation is None
                        else np.asarray(index.rotation))
                 c_rot = cents if rot is None else cents @ rot
+                stages["pq_c_rot_s"] = round(_time.perf_counter() - tt, 3)
+                tt = _time.perf_counter()
+                # keep one code copy on device: the Pallas scan's lane-
+                # padded array serves the decode too (fetch slices to M)
+                compacted = index.compact_pq_serve()
+                stages["pq_compacted"] = bool(compacted)
                 self.pq_serve = {
-                    "codes": index.codes, "books": index.pq_books,
+                    "codes": (index._codes128 if compacted
+                              else index.codes),
+                    "books": index.pq_books,
                     "inv_perm": jnp.asarray(inv),
                     "row_list": jnp.asarray(row_list),
                     "c_rot": jnp.asarray(c_rot, jnp.float32),
                     "rot": (None if rot is None
                             else jnp.asarray(rot, jnp.float32)),
                 }
+                jax.block_until_ready(self.pq_serve["inv_perm"])
+                stages["pq_upload_s"] = round(_time.perf_counter() - tt, 3)
             else:
                 self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
             self.f2o_dev = jnp.asarray(f2o)

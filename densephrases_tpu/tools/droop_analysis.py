@@ -148,11 +148,12 @@ def main():
 
     path = os.path.abspath(args.out)
     blob = json.load(open(path)) if os.path.exists(path) else {}
-    blob["droop_analysis"] = {
-        "protocol": "same 64 queries, union scan pinned, b1 vs b64 "
-                    "per-query recall@20 vs exact GT; grid rows' "
-                    "recall20_b1 is a SINGLE different query",
-        **out}
+    sec = blob.get("droop_analysis", {})
+    sec["protocol"] = ("same 64 queries, union scan pinned, b1 vs b64 "
+                       "per-query recall@20 vs exact GT; grid rows' "
+                       "recall20_b1 is a SINGLE different query")
+    sec.update(out)  # merge per-quant (separate runs per cached index)
+    blob["droop_analysis"] = sec
     with open(path, "w") as f:
         json.dump(blob, f, indent=1)
     print(json.dumps(blob["droop_analysis"], indent=1))
