@@ -361,7 +361,7 @@ def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
 
         rows = tile_ref.shape[0]
         acc = jnp.zeros(out_ref.shape, jnp.float32)
-        oh_mode = os.environ.get("DPH_PQ_OH", "repeat8")
+        oh_mode = os.environ.get("DPH_PQ_OH", "repeat")
         iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
         # k pattern for the 2D repeat one-hot: pltpu.repeat is a TILE
         # repeat (col j of a group = sub[:, j % mg]), so col j covers
@@ -369,11 +369,12 @@ def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
         # into the same k-major-within-group layout
         for g in range(m // mg):
             if oh_mode == "repeat8":
-                # uint8 repeat + uint8 compare: the one-hot build is
-                # VMEM-bandwidth-bound, not ALU-bound — the int32 form
-                # below moves ~10 MB of VMEM per group (4 MB rep write +
-                # 4 MB read + 2 MB bf16 store) vs ~4 MB here. Code
-                # values and the k pattern both fit uint8 (0..255).
+                # EXPERIMENTAL uint8 repeat + compare (2.5x less VMEM
+                # traffic than int32 in principle) — Mosaic REJECTS this
+                # lowering on real v5e (compile-helper exit 1, measured
+                # 2026-08-19, docs/IVF_SCALE.json pq_kernel_sweep);
+                # interpret mode accepts it. Kept for future toolchains;
+                # NOT the default.
                 sub8 = tile_ref[:, g * mg:(g + 1) * mg]  # uint8 codes
                 rep = pltpu.repeat(sub8, 256, axis=1)    # [rows, mg*256]
                 kpat8 = (jax.lax.broadcasted_iota(
@@ -424,7 +425,7 @@ def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
     lanes = codes128.shape[1]
     pad_blk = codes128.shape[0] // RB - 1
     mg = _pq_group(m)
-    if os.environ.get("DPH_PQ_OH", "repeat8").startswith("repeat"):
+    if os.environ.get("DPH_PQ_OH", "repeat").startswith("repeat"):
         # permute the LUT into the repeat one-hot's k-major-within-group
         # layout: group g, col j <-> LUT[:, g*mg + j % mg, j // mg]
         lut_bf = lut_bf.reshape(bp, m // mg, mg, 256).swapaxes(
