@@ -312,23 +312,21 @@ class MIPS:
                 self.vecs_dev = None
                 n_real = index.n_real
                 tt = _time.perf_counter()
-                rp = np.asarray(index.row_perm)[:n_real]
-                inv = np.empty(store.n_vecs, np.int32)
-                inv[rp] = np.arange(n_real, dtype=np.int32)
-                stages["pq_inv_perm_s"] = round(_time.perf_counter() - tt, 3)
-                tt = _time.perf_counter()
-                loffs = np.asarray(index.list_offsets)
-                row_list = (np.searchsorted(
-                    loffs, np.arange(n_real, dtype=np.int64),
-                    side="right") - 1).astype(np.int32)
-                stages["pq_row_list_s"] = round(_time.perf_counter() - tt, 3)
-                tt = _time.perf_counter()
-                cents = np.asarray(index.centroids)
-                rot = (None if index.rotation is None
-                       else np.asarray(index.rotation))
-                c_rot = cents if rot is None else cents @ rot
-                stages["pq_c_rot_s"] = round(_time.perf_counter() - tt, 3)
-                tt = _time.perf_counter()
+                # ALL pq_serve arrays are computed ON DEVICE: the first
+                # implementation round-tripped row_perm/centroids through
+                # host numpy and re-uploaded — 41 s of tunnel traffic at
+                # 10.5M (measured, BENCH_IVF pq_* init stages); the device
+                # scatter/searchsorted/matmul version is milliseconds.
+                rp_dev = jnp.asarray(index.row_perm)[:n_real]
+                inv_dev = jnp.zeros(store.n_vecs, jnp.int32).at[rp_dev].set(
+                    jnp.arange(n_real, dtype=jnp.int32))
+                row_list_dev = (jnp.searchsorted(
+                    jnp.asarray(index.list_offsets),
+                    jnp.arange(n_real, dtype=jnp.int32), side="right")
+                    - 1).astype(jnp.int32)
+                rot = index.rotation  # device array or None
+                c_rot = (index.centroids if rot is None
+                         else index.centroids @ rot)
                 # keep one code copy on device: the Pallas scan's lane-
                 # padded array serves the decode too (fetch slices to M)
                 compacted = index.compact_pq_serve()
@@ -337,14 +335,13 @@ class MIPS:
                     "codes": (index._codes128 if compacted
                               else index.codes),
                     "books": index.pq_books,
-                    "inv_perm": jnp.asarray(inv),
-                    "row_list": jnp.asarray(row_list),
+                    "inv_perm": inv_dev,
+                    "row_list": row_list_dev,
                     "c_rot": jnp.asarray(c_rot, jnp.float32),
-                    "rot": (None if rot is None
-                            else jnp.asarray(rot, jnp.float32)),
+                    "rot": rot,
                 }
                 jax.block_until_ready(self.pq_serve["inv_perm"])
-                stages["pq_upload_s"] = round(_time.perf_counter() - tt, 3)
+                stages["pq_setup_s"] = round(_time.perf_counter() - tt, 3)
             else:
                 self.vecs_dev = jnp.asarray(np.asarray(store.vecs))
             self.f2o_dev = jnp.asarray(f2o)
