@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import functools
 import logging
+import mmap
+import os
+import time
 from typing import Optional
 
 import jax
@@ -173,6 +176,18 @@ class TieredFlatIndex:
         return np.asarray(self._overflow[np.clip(gids, 0, self.n_total - 1)])
 
 
+@functools.partial(jax.jit, static_argnames=("nprobe",))
+def _probe_topk(q, centroids, *, nprobe: int):
+    """Coarse probe in ONE compiled program (eager einsum + eager top_k
+    cost ~1.7 s/batch of per-op dispatch over the tunnel backend)."""
+    s = jax.lax.dot_general(
+        q.astype(jnp.bfloat16), centroids.astype(jnp.bfloat16),
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    _, ids = jax.lax.top_k(s, nprobe)
+    return ids
+
+
 @functools.partial(jax.jit, static_argnames=("top_k", "sq4"))
 def _score_union_block(qbf, qsum, block, row_list, member, scale,
                        *, top_k: int, sq4: bool = False):
@@ -313,25 +328,45 @@ class TieredIVF:
                            -128, 127).astype(np.int8)
         return rows
 
+    def _advise_ranges(self, starts, ends) -> None:
+        """madvise(WILLNEED) every probed byte range up front so the kernel
+        queues the reads in parallel. The cold scattered-read pattern is
+        IOPS-bound (~30 serial reads/s measured on this host's virtio disk
+        = 5 MB/s); advising all ranges first lets readahead overlap them."""
+        mm = getattr(self._codes, "_mmap", None)
+        if mm is None:
+            return
+        try:
+            page = mmap.PAGESIZE
+            base = self._codes.offset
+            rb = self._codes.shape[1] * self._codes.dtype.itemsize
+            for s0, e0 in zip(starts, ends):
+                lo = (base + int(s0) * rb) // page * page
+                hi = base + int(e0) * rb
+                mm.madvise(mmap.MADV_WILLNEED, lo, hi - lo)
+        except (AttributeError, ValueError, OSError):
+            pass  # madvise is an optimization only
+
     def search(self, queries, top_k: int = 10, nprobe: int = 64,
                as_numpy: bool = True):
+        prof = os.environ.get("DPH_TIERED_PROFILE") == "1"
+        tp0 = time.perf_counter()
         queries = jnp.asarray(queries, jnp.float32)
         b = queries.shape[0]
         nprobe = min(nprobe, self.nlist)
         k = min(top_k, max(self.n_total, 1))
 
-        # ---- probe on device, small download (B x nprobe int32)
-        c_scores = jnp.einsum("bd,nd->bn", queries.astype(jnp.bfloat16),
-                              self.centroids.astype(jnp.bfloat16),
-                              preferred_element_type=jnp.float32)
-        _, probe_ids = jax.lax.top_k(c_scores, nprobe)
-        probe_np = np.asarray(probe_ids)
+        # ---- probe on device (one jitted program), small download
+        probe_np = np.asarray(
+            _probe_topk(queries, self.centroids, nprobe=nprobe))
+        t_probe = time.perf_counter() - tp0
 
         # ---- host IO: contiguous range per unique probed list
         offs = self.list_offsets
         uniq = np.unique(probe_np.reshape(-1))
         starts, ends = offs[uniq], offs[uniq + 1]
         lens = ends - starts
+        self._advise_ranges(starts, ends)
         # membership over COMPACT unique-list indices: [B, U], not
         # [B, nlist] (uniq is sorted, so searchsorted is the remap). U is
         # padded to a power-of-two bucket so _score_union_block's jit cache
@@ -354,31 +389,52 @@ class TieredIVF:
                        else (self.offset, self.scale))
             qsum = queries.sum(-1) * off
             qbf = queries.astype(jnp.bfloat16)
+        # ---- stream blocks up and score, fully pipelined: per-block
+        # results stay ON DEVICE (one fetch at the end), host buffers
+        # rotate through a small pool so block i+1's IO/memcpy overlaps
+        # block i's (async-dispatched) upload + scan. The old version
+        # fetched every block's top-k synchronously, serializing
+        # IO -> H2D -> MXU -> D2H per block.
         br = self.block_rows
-        cand_vals, cand_ids = [], []
-        blk = np.empty((br, self._codes.shape[1]), np.int8)
+        ncols = self._codes.shape[1]
+        pool = 4
+        bufs = [(np.empty((br, ncols), np.int8), np.empty((br,), np.int32))
+                for _ in range(pool)]
+        dev_vals, dev_ids, blk_rows_l = [], [], []
         blk_rows = np.empty((br,), np.int64)
-        blk_list = np.empty((br,), np.int32)
         fill = 0
+        io_s = h2d_s = 0.0
+        sc_dev = jnp.float32(sc)
 
         def flush(fill):
+            nonlocal h2d_s
             if fill == 0:
                 return
+            blk, blk_list = bufs[len(dev_vals) % pool]
             if fill < br:  # pad tail to the static shape
                 blk_list[fill:] = -1
+            t0 = time.perf_counter()
+            blk_dev = jax.device_put(blk)
+            list_dev = jax.device_put(blk_list)
+            h2d_s += time.perf_counter() - t0
             vals, ids = _score_union_block(
-                qbf, qsum, jax.device_put(blk.copy()),
-                jax.device_put(blk_list.copy()), member_dev,
-                jnp.float32(sc), top_k=min(k, br), sq4=self.sq4)
-            rows = blk_rows.copy()
-            cand_vals.append(np.asarray(vals))
-            cand_ids.append(rows[np.clip(np.asarray(ids), 0, br - 1)])
+                qbf, qsum, blk_dev, list_dev, member_dev,
+                sc_dev, top_k=min(k, br), sq4=self.sq4)
+            dev_vals.append(vals)
+            dev_ids.append(ids)
+            blk_rows_l.append(blk_rows.copy())
 
         for ci, (s0, ln) in enumerate(zip(starts, lens)):
             done = 0
             while done < ln:
+                if fill == 0 and len(dev_vals) >= pool:
+                    # reusing a pool buffer: its upload must be consumed
+                    dev_vals[len(dev_vals) - pool].block_until_ready()
+                blk, blk_list = bufs[len(dev_vals) % pool]
                 take = min(int(ln - done), br - fill)
+                t0 = time.perf_counter()
                 blk[fill:fill + take] = self._codes[s0 + done:s0 + done + take]
+                io_s += time.perf_counter() - t0
                 blk_rows[fill:fill + take] = np.arange(
                     s0 + done, s0 + done + take)
                 blk_list[fill:fill + take] = ci  # compact unique-list index
@@ -389,12 +445,25 @@ class TieredIVF:
                     fill = 0
         flush(fill)
 
-        if not cand_vals:  # empty probe set (degenerate corpus)
+        if not dev_vals:  # empty probe set (degenerate corpus)
             vals = np.full((b, top_k), float(NEG_INF), np.float32)
             return vals, np.zeros((b, top_k), np.int64)
 
-        all_vals = np.concatenate(cand_vals, axis=1)
-        all_rows = np.concatenate(cand_ids, axis=1)
+        t0 = time.perf_counter()
+        vals_np = [np.asarray(v) for v in dev_vals]
+        ids_np = [np.asarray(i) for i in dev_ids]
+        fetch_s = time.perf_counter() - t0
+        all_vals = np.concatenate(vals_np, axis=1)
+        all_rows = np.concatenate(
+            [rw[np.clip(i, 0, br - 1)]
+             for rw, i in zip(blk_rows_l, ids_np)], axis=1)
+        if prof:
+            self.last_profile = {
+                "probe_s": round(t_probe, 3), "io_s": round(io_s, 3),
+                "h2d_s": round(h2d_s, 3), "fetch_s": round(fetch_s, 3),
+                "blocks": len(dev_vals), "rows": int(lens.sum()),
+                "uniq_lists": int(len(uniq)),
+                "total_s": round(time.perf_counter() - tp0, 3)}
         # final exact merge on host (candidate set is small: blocks x k)
         order = np.argsort(-all_vals, axis=1)[:, :k]
         vals = np.take_along_axis(all_vals, order, axis=1)
