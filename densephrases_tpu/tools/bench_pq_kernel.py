@@ -98,20 +98,36 @@ def main():
             same = True
         else:
             same = bool((ids == ref_ids).all())
-        t0 = time.perf_counter()
+        # warm the repeat program FIRST: clear_caches() above means the
+        # timed call would otherwise include its ~10 s compile (the r5
+        # sweep's 665 ms rows were exactly this artifact)
         jax.block_until_ready(ivf.bench_union_repeat(
             q64, top_k=20, nprobe=args.nprobe, reps=args.reps))
-        el = time.perf_counter() - t0
-        rep_ms = max((el * 1000 - floor_ms) / args.reps, 0.0)
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            jax.block_until_ready(ivf.bench_union_repeat(
+                q64, top_k=20, nprobe=args.nprobe, reps=args.reps))
+            el = time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        rep_ms = max((best * 1000 - floor_ms) / args.reps, 0.0)
         rows[key] = {"rep_b64_ms": round(rep_ms, 2), "ids_match": same}
         print(f"{key}: {rows[key]}", flush=True)
 
     out = os.path.abspath(args.out)
     blob = json.load(open(out)) if os.path.exists(out) else {}
-    blob["pq_kernel_sweep"] = {
+    prev = blob.get("pq_kernel_sweep", {})
+    # merge with a prior sweep at the same operating point so the section
+    # accumulates configs across invocations instead of dropping them
+    same_point = all(prev.get(k) == v for k, v in (
+        ("quant", args.quant), ("nprobe", args.nprobe),
+        ("refine_factor", args.refine_factor)))
+    merged = {k: v for k, v in prev.items() if same_point}
+    merged.update({
         "quant": args.quant, "nprobe": args.nprobe,
         "refine_factor": args.refine_factor,
-        "dispatch_floor_ms": round(floor_ms, 2), **rows}
+        "dispatch_floor_ms": round(floor_ms, 2), **rows})
+    blob["pq_kernel_sweep"] = merged
     with open(out, "w") as f:
         json.dump(blob, f, indent=1)
     print(json.dumps(blob["pq_kernel_sweep"], indent=1))
