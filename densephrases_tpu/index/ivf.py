@@ -29,6 +29,7 @@ import functools
 import json
 import os
 import pickle
+import re
 from dataclasses import dataclass
 from typing import Optional
 
@@ -50,9 +51,11 @@ from densephrases_tpu.ops.opq import OPQ, train_opq
 from densephrases_tpu.ops.pq import (
     PQCodebook,
     codes_to_onehot,
+    pack_nibbles,
     pq_encode,
     pq_lut,
     train_pq,
+    unpack_nibbles_dev,
 )
 from densephrases_tpu.ops.ivf_pack import (
     RB as PACK_RB,
@@ -72,6 +75,29 @@ from densephrases_tpu.ops.quant import (
 from densephrases_tpu.ops.topk import topk_merge
 
 NEG_INF = jnp.float32(-1e30)
+
+_FQ_PQ_RE = re.compile(r"^(OPQ|PQ)(\d+)(?:x(\d+))?$")
+
+
+def parse_pq_quant(fq: str):
+    """Parse a PQ/OPQ fine_quant spec → (kind, M, nbits) or None.
+
+    "OPQ96" = 96 subspaces × 8 bits (the reference's flagship config,
+    ref build_phrase_index.py:109-116); "OPQ192x4" = 192 subspaces ×
+    4 bits (FAISS PQx4 fast-scan role) — SAME bytes per code, 16-wide
+    one-hot at serve (≈8× fewer scan MACs; codes stored nibble-packed)."""
+    mt = _FQ_PQ_RE.match(fq)
+    if not mt:
+        return None
+    return mt.group(1), int(mt.group(2)), int(mt.group(3) or 8)
+
+
+def _pq_unpack_cand(cand, pq_books):
+    """Unpack candidate code rows for the one-hot scans when the books
+    are 4-bit (ksub=16): [..., M//2] packed bytes → [..., M] int32."""
+    if pq_books.shape[1] == 16:
+        return unpack_nibbles_dev(cand, int(pq_books.shape[0]))
+    return cand
 
 
 def _round_up(x: int, m: int) -> int:
@@ -131,8 +157,9 @@ def _probe_score(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
 
         if is_pq:
             # per-subspace one-hot matmul (no gathers; ops/pq.py)
-            ksub = 256
-            m = cand.shape[-1]
+            ksub = int(pq_books.shape[1])
+            m = int(pq_books.shape[0])
+            cand = _pq_unpack_cand(cand, pq_books)  # 4-bit: nibble unpack
             iota = jax.lax.broadcasted_iota(jnp.int32, (b, cap, m, ksub), 3)
             oh = (cand[..., None].astype(jnp.int32) == iota).astype(jnp.bfloat16)
             s = jnp.einsum("bmk,bcmk->bc", lut_bf, oh,
@@ -242,7 +269,10 @@ def _union_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
             lambda o: jax.lax.dynamic_slice(codes, (o, 0), (cap, mdim))
         )(offs).reshape(group * cap, mdim)  # contiguous per-list DMA
         if is_pq:
-            oh = codes_to_onehot(cand)  # [G*cap, M*256] bf16 (VPU compare)
+            # [G*cap, M*ksub] bf16 one-hot (VPU compare; nibble unpack
+            # first for 4-bit books)
+            oh = codes_to_onehot(_pq_unpack_cand(cand, pq_books),
+                                 int(pq_books.shape[1]))
             s = jax.lax.dot_general(
                 flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [B, G*cap]
@@ -416,7 +446,9 @@ def _pq_block_scan(q_raw, q_rot, centroids, list_offsets, codes, row_perm,
 
         def body(_, xs):
             codes_ch, ids_ch, v_ch = xs
-            oh = codes_to_onehot(codes_ch)  # [chunk, M*256] bf16
+            # [chunk, M*ksub] bf16 (4-bit books: nibble unpack first)
+            oh = codes_to_onehot(_pq_unpack_cand(codes_ch, pq_books),
+                                 int(pq_books.shape[1]))
             s = jax.lax.dot_general(
                 flat_lut, oh, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32)  # [B, chunk]
@@ -1182,15 +1214,16 @@ class IVFIndex:
         # residual encoding (FAISS IVFPQ by_residual parity; see IVFConfig).
         # __dict__.get so a legacy unpickled cfg (no instance attr) rebuilds
         # full-vector rather than inheriting the new class default
+        pq_spec = parse_pq_quant(fq)
         resid = bool(cfg.__dict__.get("pq_residual", False)) and (
-            fq.startswith("OPQ") or fq.startswith("PQ"))
+            pq_spec is not None)
         r_cents = np.asarray(centroids, np.float32) if resid else None
-        if fq.startswith("OPQ"):
-            m = int(fq[3:])
+        if pq_spec is not None and pq_spec[0] == "OPQ":
+            _, m, nbits = pq_spec
             sample, s_off, s_scale, sel = (
                 sample_cache or IVFIndex._train_sample(
                     codes_int8, cfg, offset, scale))
-            opq = train_opq(sample, m, niter=cfg.opq_iters,
+            opq = train_opq(sample, m, nbits=nbits, niter=cfg.opq_iters,
                             pq_iters=cfg.pq_iters, seed=cfg.seed,
                             verbose=verbose, offset=s_off, scale=s_scale,
                             sub_cents=r_cents,
@@ -1201,17 +1234,22 @@ class IVFIndex:
                                    scale=scale, rotation=rotation,
                                    cents=r_cents,
                                    assign=assign if resid else None)
-        elif fq.startswith("PQ"):
-            m = int(fq[2:])
+            if nbits == 4:
+                fine_codes = pack_nibbles(fine_codes)
+        elif pq_spec is not None:
+            _, m, nbits = pq_spec
             sample, s_off, s_scale, sel = (
                 sample_cache or IVFIndex._train_sample(
                     codes_int8, cfg, offset, scale))
-            pq = train_pq(sample, m, iters=cfg.pq_iters, seed=cfg.seed,
+            pq = train_pq(sample, m, nbits=nbits, iters=cfg.pq_iters,
+                          seed=cfg.seed,
                           offset=s_off, scale=s_scale, sub_cents=r_cents,
                           sub_ids=assign[sel] if resid else None)
             fine_codes = pq_encode(pq, codes_int8, offset=offset,
                                    scale=scale, cents=r_cents,
                                    assign=assign if resid else None)
+            if nbits == 4:
+                fine_codes = pack_nibbles(fine_codes)
         elif fq == "SQ8":
             fine_codes = codes_int8
         elif fq == "SQ4":
@@ -1426,7 +1464,10 @@ class IVFIndex:
             # group size: bound the per-step working set (one-hot expansion
             # for PQ, raw int8 rows for SQ8) to keep VMEM pressure flat
             mdim = int(self.codes.shape[1])
-            row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
+            # one-hot expansion bytes per candidate row: M*ksub*2 (bf16)
+            oh_row = (int(self.pq_books.shape[0])
+                      * int(self.pq_books.shape[1]) * 2) if is_pq else 0
+            row_budget = (32 * 1024 * 1024 // max(oh_row, 1) if is_pq
                           else 8 * 1024 * 1024 // max(mdim, 1))
             group = int(np.clip(row_budget // max(self.cap, 1), 1, 64))
             vals, ids = _union_scan(
@@ -1621,7 +1662,9 @@ class IVFIndex:
                               max(self.n_total, 1))
                           if do_refine else min(top_k, max(self.n_total, 1)))
                 mdim = int(self.codes.shape[1])
-                row_budget = (32 * 1024 * 1024 // (mdim * 256 * 2) if is_pq
+                oh_row = (int(self.pq_books.shape[0])
+                          * int(self.pq_books.shape[1]) * 2) if is_pq else 0
+                row_budget = (32 * 1024 * 1024 // max(oh_row, 1) if is_pq
                               else 8 * 1024 * 1024 // max(mdim, 1))
                 group = int(np.clip(row_budget // max(cap, 1), 1, 64))
                 use_pq_block = (is_pq and self.use_packed

@@ -81,8 +81,14 @@ def _rescore_spans(query_start, query_end, s_gids, e_gids, s_scores, e_scores,
             s = inv_perm[rows]
             # codes may be the Pallas scan's lane-padded [N, 128] array
             # (IVFIndex.compact_pq_serve keeps ONLY that copy on device);
-            # the real subspace count is books' M — slice the pad off
-            code = codes[s][..., :books.shape[0]]  # [..., M] uint8
+            # the real code width is M bytes (8-bit books) or M//2
+            # nibble-packed bytes (4-bit books) — slice the pad off
+            if int(books.shape[1]) == 16:
+                from densephrases_tpu.ops.pq import unpack_nibbles_dev
+
+                code = unpack_nibbles_dev(codes[s], int(books.shape[0]))
+            else:
+                code = codes[s][..., :books.shape[0]]  # [..., M] uint8
             oh = (code[..., None].astype(jnp.int32)
                   == jax.lax.broadcasted_iota(
                       jnp.int32, code.shape + (books.shape[1],),

@@ -341,10 +341,18 @@ def _pq_group(m: int) -> int:
 
 
 def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
-                          m: int, mg: int, tpb: int, pad_blk: int):
+                          m: int, mg: int, tpb: int, pad_blk: int,
+                          ksub: int = 256):
     """Grid (T_tiles, tpb). Copies one 32-row code block per step into the
     persistent VMEM tile; on the tile's last block, scores the tile against
     the VMEM-resident LUT with M//mg one-hot MXU contractions.
+
+    ksub=16 (4-bit books): codes are NIBBLE-PACKED — M//2 bytes per row,
+    byte i = subspace 2i | subspace 2i+1 << 4 (ops/pq.pack_nibbles). The
+    kernel unpacks in VMEM (int32 mask/shift) and scores with TWO
+    16-wide one-hot contractions (lo then hi nibbles) — the one-hot is
+    M*16 wide instead of M/2*256: ~8× fewer build elements and MACs for
+    the same code bytes (the FAISS PQx4 fast-scan role).
 
     Junk slots (pad_blk suffix) skip the copy; all-junk tiles skip the
     matmul (stale rows are masked downstream by the caller)."""
@@ -361,6 +369,20 @@ def _pq_pack_score_kernel(blk_ref, lut_ref, codes_ref, out_ref, tile_ref, *,
 
         rows = tile_ref.shape[0]
         acc = jnp.zeros(out_ref.shape, jnp.float32)
+        if ksub == 16:
+            nbytes = m // 2
+            sub = tile_ref[:, :nbytes].astype(jnp.int32)  # packed bytes
+            kpat = jax.lax.broadcasted_iota(
+                jnp.int32, (1, nbytes * 16), 1) // nbytes
+            for h, nib in enumerate((sub & 0x0F, sub >> 4)):
+                rep = pltpu.repeat(nib, 16, axis=1)  # [rows, nbytes*16]
+                oh = (rep == kpat).astype(jnp.bfloat16)
+                acc = acc + jax.lax.dot_general(
+                    lut_ref[:, h * nbytes * 16:(h + 1) * nbytes * 16], oh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out_ref[:] = acc
+            return
         oh_mode = os.environ.get("DPH_PQ_OH", "repeat")
         iota3 = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 256), 2)
         # k pattern for the 2D repeat one-hot: pltpu.repeat is a TILE
@@ -410,10 +432,10 @@ def _pq_tpb() -> int:
 
 
 def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
-                   interpret: bool = False):
-    """lut_bf [B_pad, M*256] bf16, codes128 [N_pad, 128] uint8 lane-padded
-    codes (N_pad % 32 == 0), blk [budget] int32 block table →
-    raw LUT scores [B_pad, budget*RB] f32."""
+                   ksub: int = 256, interpret: bool = False):
+    """lut_bf [B_pad, M*ksub] bf16, codes128 [N_pad, 128] uint8 lane-padded
+    codes (N_pad % 32 == 0; nibble-packed M//2 bytes/row when ksub=16),
+    blk [budget] int32 block table → raw LUT scores [B_pad, budget*RB] f32."""
     import os
 
     bp = lut_bf.shape[0]
@@ -425,7 +447,18 @@ def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
     lanes = codes128.shape[1]
     pad_blk = codes128.shape[0] // RB - 1
     mg = _pq_group(m)
-    if os.environ.get("DPH_PQ_OH", "repeat").startswith("repeat"):
+    if ksub == 16:
+        # permute the LUT into the two-contraction layout the 4-bit
+        # kernel consumes: [lo-nibble subspaces k-major | hi-nibble
+        # subspaces k-major] — half h, col j <-> LUT[:, 2*(j % M//2) + h,
+        # j // (M//2)] (pack order: ops/pq.pack_nibbles)
+        nbytes = m // 2
+        l3 = lut_bf.reshape(bp, m, 16)
+        lut_bf = jnp.concatenate(
+            [l3[:, 0::2, :].swapaxes(1, 2).reshape(bp, nbytes * 16),
+             l3[:, 1::2, :].swapaxes(1, 2).reshape(bp, nbytes * 16)],
+            axis=1)
+    elif os.environ.get("DPH_PQ_OH", "repeat").startswith("repeat"):
         # permute the LUT into the repeat one-hot's k-major-within-group
         # layout: group g, col j <-> LUT[:, g*mg + j % mg, j // mg]
         lut_bf = lut_bf.reshape(bp, m // mg, mg, 256).swapaxes(
@@ -435,7 +468,7 @@ def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
         num_scalar_prefetch=1,
         grid=(n_tiles, tpb),
         in_specs=[
-            pl.BlockSpec((bp, m * 256), lambda t, b, blk_ref: (0, 0),
+            pl.BlockSpec((bp, m * ksub), lambda t, b, blk_ref: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((RB, lanes),
                          lambda t, b, blk_ref: (blk_ref[t * tpb + b], 0),
@@ -447,7 +480,7 @@ def _pq_pack_score(lut_bf, codes128, blk, *, budget: int, m: int,
     )
     return pl.pallas_call(
         functools.partial(_pq_pack_score_kernel, m=m, mg=mg,
-                          tpb=tpb, pad_blk=pad_blk),
+                          tpb=tpb, pad_blk=pad_blk, ksub=ksub),
         out_shape=jax.ShapeDtypeStruct((bp, n_tiles * tile), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -476,6 +509,7 @@ def packed_pq_scan(q_raw, q_rot, centroids, list_offsets, codes128, row_perm,
     b, d = q_raw.shape
     nlist = centroids.shape[0]
     m = pq_books.shape[0]
+    ksub = pq_books.shape[1]
 
     # ---- probe (bf16 MXU; f32 centroid scores for the residual term)
     c_scores = jnp.einsum("bd,nd->bn", q_raw.astype(jnp.bfloat16),
@@ -514,7 +548,7 @@ def packed_pq_scan(q_raw, q_rot, centroids, list_offsets, codes128, row_perm,
 
     bp = _round_up(max(b, 16), 16)  # bf16 sublane tile
     lut = pq_lut(pq_books, q_rot).reshape(b, -1).astype(jnp.bfloat16)
-    lut_bf = jnp.zeros((bp, m * 256), jnp.bfloat16).at[:b].set(lut)
+    lut_bf = jnp.zeros((bp, m * ksub), jnp.bfloat16).at[:b].set(lut)
 
     def scan_at(budget: int):
         def run(_):
@@ -524,7 +558,7 @@ def packed_pq_scan(q_raw, q_rot, centroids, list_offsets, codes128, row_perm,
             blk = jnp.where(j < total, start[u_of] + (j - cum[u_of]),
                             pad_blk).astype(jnp.int32)
             raw = _pq_pack_score(lut_bf, codes128, blk, budget=budget,
-                                 m=m, interpret=interpret)[:b]
+                                 m=m, ksub=ksub, interpret=interpret)[:b]
             r = jnp.arange(budget * RB, dtype=jnp.int32)
             src = blk[r // RB] * RB + (r % RB)  # packed row -> sorted row
             valid = ((r // RB) < total) & (src < n_real)

@@ -93,7 +93,8 @@ def _rotate_dev(xd, r):
                    preferred_element_type=jnp.float32)
 
 
-def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
+def train_opq(x: np.ndarray, m: int, nbits: int = 8, niter: int = 10,
+              pq_iters: int = 6,
               seed: int = 0, verbose: bool = False, offset: float = 0.0,
               scale: float = 1.0, row_chunk: int = 4096,
               sub_cents: np.ndarray = None,
@@ -105,7 +106,11 @@ def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
     (offset, scale) dequant contract (uploaded once as int8).
     sub_cents/sub_ids (optional): coarse centroids [nlist, D] f32 + each
     sample row's assignment [N] — train on RESIDUALS x − c (IVF
-    by_residual), subtracted on device (no host f32 sample copy)."""
+    by_residual), subtracted on device (no host f32 sample copy).
+    nbits: codebook size per subspace (8 = reference parity; 4 = the
+    fast-scan operating point, 16 centroids per subspace)."""
+    assert nbits in (4, 8), f"nbits must be 4 or 8, got {nbits}"
+    ksub = 1 << nbits
     n, d = x.shape
     rng = np.random.default_rng(seed)
     # init: random orthogonal rotation (FAISS inits from random rotation too)
@@ -131,7 +136,7 @@ def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
     for it in range(niter):
         r_dev = jnp.asarray(r)
         y = _rotate_dev(xd, r_dev)
-        books = _train_pq_device(y, m, 256, pq_iters,
+        books = _train_pq_device(y, m, ksub, pq_iters,
                                  np.random.default_rng(seed + 1000 * it),
                                  row_chunk=rc)
         xty, err = _opq_cross(xd, y, books, row_chunk=rc)
@@ -146,6 +151,6 @@ def train_opq(x: np.ndarray, m: int, niter: int = 10, pq_iters: int = 6,
 
     # final PQ fit on the converged rotation
     y = _rotate_dev(xd, jnp.asarray(r))
-    books = _train_pq_device(y, m, 256, pq_iters,
+    books = _train_pq_device(y, m, ksub, pq_iters,
                              np.random.default_rng(seed + 999), row_chunk=rc)
     return OPQ(rotation=r, pq=PQCodebook(np.asarray(books)))

@@ -116,7 +116,10 @@ def train_pq(x: np.ndarray, m: int, nbits: int = 8, iters: int = 10,
     per-subspace re-upload of the sample."""
     n, d = x.shape
     assert d % m == 0, f"dim {d} not divisible by M={m}"
-    assert nbits == 8, "only 8-bit PQ supported (ref uses 8, :109-116)"
+    # 8-bit matches the reference exactly (:109-116); 4-bit is the
+    # fast-scan operating point (FAISS PQx4fs role): same code bytes at
+    # M×2 subspaces, 16-wide one-hot — ~8× fewer scan MACs on the MXU
+    assert nbits in (4, 8), f"nbits must be 4 or 8, got {nbits}"
     dsub = d // m
     ksub = 1 << nbits
     rng = np.random.default_rng(seed)
@@ -194,6 +197,33 @@ def pq_encode(pq: PQCodebook, x: np.ndarray, offset: float = 0.0,
             row_chunk=rc, rotate=rot is not None, residual=resid)
         out[b0:b0 + c] = np.asarray(codes[:c])
     return out
+
+
+def pack_nibbles(codes: np.ndarray) -> np.ndarray:
+    """4-bit codes [N, M] (values < 16, M even) → packed bytes [N, M//2].
+
+    Byte i = subspace 2i (low nibble) | subspace 2i+1 << 4 (high nibble).
+    The storage format for ksub=16 quantizers: same bytes/row as the
+    equivalent 8-bit PQ at half the subspace width each."""
+    n, m = codes.shape
+    assert m % 2 == 0, f"M={m} must be even to pack nibbles"
+    assert codes.dtype == np.uint8
+    return (codes[:, 0::2] | (codes[:, 1::2] << 4)).astype(np.uint8)
+
+
+def unpack_nibbles(packed: np.ndarray) -> np.ndarray:
+    """Packed bytes [N, B] → 4-bit codes [N, 2B] (pack_nibbles inverse)."""
+    lo = packed & 0x0F
+    hi = packed >> 4
+    return np.stack([lo, hi], axis=-1).reshape(packed.shape[0], -1)
+
+
+def unpack_nibbles_dev(packed, m: int):
+    """Device nibble unpack: [..., B(+lane pad)] uint8 → [..., M] int32
+    in subspace order (low nibble first). Slices off lane padding."""
+    v = packed[..., : m // 2].astype(jnp.int32)
+    return jnp.stack([v & 0x0F, v >> 4], axis=-1).reshape(
+        v.shape[:-1] + (m,))
 
 
 def pq_decode(pq: PQCodebook, codes: np.ndarray) -> np.ndarray:

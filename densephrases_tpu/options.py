@@ -51,7 +51,7 @@ class IndexOptions:
     index_path: str = ""
     idx2id_path: str = ""
     num_clusters: int = 1048576
-    fine_quant: str = "OPQ96"  # none | SQ8 | SQ4 | OPQ96 | PQ96
+    fine_quant: str = "OPQ96"  # none / SQ8 / SQ4 / OPQ<m>[x4] / PQ<m>[x4]
     doc_sample_ratio: float = 0.2
     vec_sample_ratio: float = 0.2
     norm_th: float = 999.0
@@ -226,9 +226,14 @@ class Options:
     def _sanity_check(self):
         # ref: options.py:226-251 parse-time validations
         assert self.model.max_answer_length >= 1
-        assert self.index.fine_quant in ("none", "SQ8", "SQ4", "OPQ96", "PQ96"), (
-            f"unknown fine_quant {self.index.fine_quant}"
-        )
+        if self.index.fine_quant not in ("none", "SQ8", "SQ4"):
+            from densephrases_tpu.index.ivf import parse_pq_quant
+
+            # PQ/OPQ specs: "OPQ96" (8-bit, reference parity) or
+            # "OPQ192x4" (4-bit fast-scan; same bytes, 16-wide one-hot)
+            assert parse_pq_quant(self.index.fine_quant) is not None, (
+                f"unknown fine_quant {self.index.fine_quant}"
+            )
         # jax.random.key's spelling of the default PRNG is "threefry2x32";
         # accept the documented short form here so --rng_impl threefry works
         if self.train.rng_impl == "threefry":

@@ -85,7 +85,7 @@ def test_opq_beats_plain_pq():
 
 
 @pytest.mark.parametrize("fine_quant,min_recall", [
-    ("SQ8", 0.95), ("PQ8", 0.55), ("OPQ8", 0.55),
+    ("SQ8", 0.95), ("PQ8", 0.55), ("OPQ8", 0.55), ("OPQ16x4", 0.5),
 ])
 def test_ivf_recall_vs_exact(fine_quant, min_recall):
     x = _clustered_data(5000, 64, seed=4)
@@ -618,3 +618,37 @@ def test_ivf_legacy_unaligned_memmap_load(tmp_path):
     overlap = np.mean([len(set(a.tolist()) & set(b.tolist())) / 8
                        for a, b in zip(i1, i2)])
     assert overlap >= 0.95, overlap
+
+
+def test_pack_nibbles_roundtrip():
+    from densephrases_tpu.ops.pq import (
+        pack_nibbles, unpack_nibbles, unpack_nibbles_dev)
+
+    rng = np.random.default_rng(11)
+    c = rng.integers(0, 16, (9, 24)).astype(np.uint8)
+    p = pack_nibbles(c)
+    assert p.shape == (9, 12)
+    assert (unpack_nibbles(p) == c).all()
+    # device unpack slices lane padding off and matches the host unpack
+    padded = np.concatenate([p, np.zeros((9, 4), np.uint8)], axis=1)
+    got = np.asarray(unpack_nibbles_dev(jnp.asarray(padded), 24))
+    assert (got == c).all()
+
+
+def test_ivf_4bit_save_load_round_trip(tmp_path):
+    """A 4-bit (nibble-packed) OPQ index must round-trip through save/load
+    and return identical results (codes stay M//2 bytes wide)."""
+    x = _clustered_data(3000, 64, seed=14)
+    codes = float_to_int8(x)
+    cfg = IVFConfig(num_clusters=32, fine_quant="OPQ16x4", kmeans_iters=4,
+                    pq_iters=3, opq_iters=2, refine_factor=8)
+    ivf = IVFIndex.build(codes, cfg)
+    assert ivf.codes.shape[1] == 8  # 16 subspaces nibble-packed
+    assert ivf.pq_books.shape[1] == 16
+    q = _clustered_data(6, 64, seed=15)
+    v0, i0 = ivf.search(q, top_k=10, nprobe=16)
+    ivf.save(str(tmp_path / "idx4"))
+    ivf2 = IVFIndex.load(str(tmp_path / "idx4"))
+    v1, i1 = ivf2.search(q, top_k=10, nprobe=16)
+    assert (i0 == i1).all()
+    np.testing.assert_allclose(v0, v1, atol=1e-3, rtol=0)

@@ -211,11 +211,16 @@ def _build_pq(seed=0, refine_factor=4, fine_quant="OPQ8"):
     return IVFIndex.build(_corpus(seed), cfg)
 
 
-@pytest.mark.parametrize("batch,nprobe", [(1, 4), (8, 6), (8, NLIST)])
-def test_pq_pallas_matches_xla_block_scan(batch, nprobe):
+@pytest.mark.parametrize("batch,nprobe,fine_quant", [
+    (1, 4, "OPQ8"), (8, 6, "OPQ8"), (8, NLIST, "OPQ8"),
+    (1, 4, "OPQ32x4"), (8, NLIST, "OPQ32x4"),
+])
+def test_pq_pallas_matches_xla_block_scan(batch, nprobe, fine_quant):
     """The Pallas PQ LUT kernel must agree with the pure-XLA block scan
-    (same probes, same union coverage, same residual + refine math)."""
-    idx = _build_pq()
+    (same probes, same union coverage, same residual + refine math) —
+    for 8-bit books and for 4-bit nibble-packed books (the fast-scan
+    operating point)."""
+    idx = _build_pq(fine_quant=fine_quant)
     assert idx._pq_block_ok and idx._pq_pallas and idx.pq_residual
     q = _queries(b=batch, seed=7)
     vp, ip = idx.search_union(q, top_k=20, nprobe=nprobe)
@@ -268,3 +273,22 @@ def test_pq_host_refine_matches_device_refine():
     vh, gh = idx.search_union(q, top_k=10, nprobe=8)
     assert (gd == gh).mean() > 0.95  # ties may swap order
     np.testing.assert_allclose(vd, vh, atol=0.2, rtol=0)  # bf16 vs f32
+
+
+def test_pq_pallas_4bit_full_probe_recall():
+    """4-bit books at the same total bits (OPQ64x4 = 256 bits = OPQ32):
+    with a deep int8 refine the Pallas path must still recover most of
+    the exact top-k at full probe."""
+    idx = _build_pq(refine_factor=16, fine_quant="OPQ64x4")
+    assert idx.codes.shape[1] == 32  # nibble-packed
+    q = _queries(b=8, seed=8)
+    vals, gids = idx.search_union(q, top_k=10, nprobe=NLIST)
+    brute = _brute_sq8(q, _corpus())
+    exact = np.argsort(brute, axis=1)[:, ::-1][:, :10]
+    overlap = np.mean([
+        len(set(a.tolist()) & set(b.tolist())) / 10
+        for a, b in zip(gids, exact)])
+    assert overlap >= 0.85, overlap
+    got = np.take_along_axis(brute, gids.astype(np.int64), axis=1)
+    live = vals > -1e29
+    np.testing.assert_allclose(vals[live], got[live], atol=1e-3, rtol=0)

@@ -55,6 +55,7 @@ def _span_overlap(outs_a, outs_b, k=5):
     ("SQ8", 32, 0.95),   # full probe, same quantization → near-identical
     ("SQ8", 12, 0.55),   # partial probe → most spans still found
     ("OPQ8", 16, 0.5),   # PQ stage-1 + int8 refine → majority agreement
+    ("OPQ32x4", 16, 0.5),  # 4-bit nibble-packed stage-1 + int8 refine
 ])
 def test_ivf_mips_matches_flat_mips(tmp_path, fine_quant, nprobe, min_overlap):
     store = _store(tmp_path)
@@ -120,7 +121,8 @@ def test_pack_budget_tiers_ladder():
         assert tiers[-1] >= min(worst, smem), (tiers, worst)
 
 
-def test_mips_pq_decode_serve_no_int8(tmp_path):
+@pytest.mark.parametrize("fine_quant", ["OPQ16", "OPQ32x4"])
+def test_mips_pq_decode_serve_no_int8(tmp_path, fine_quant):
     """Reconstruct-from-codes serving (ref faiss reconstruct(), ref
     index.py:275-302): with no refine matrix, MIPS must serve a PQ index
     with NO original-order int8 corpus on device — stage 2 decodes
@@ -129,7 +131,7 @@ def test_mips_pq_decode_serve_no_int8(tmp_path):
     store = _store(tmp_path)
     flat_mips = MIPS(store)
     ivf = IVFIndex.build(np.asarray(store.vecs),
-                         IVFConfig(num_clusters=32, fine_quant="OPQ16",
+                         IVFConfig(num_clusters=32, fine_quant=fine_quant,
                                    kmeans_iters=5, pq_iters=3, opq_iters=2,
                                    refine_factor=1))
     assert ivf.refine_codes is None
