@@ -189,17 +189,18 @@ def _probe_topk(q, centroids, *, nprobe: int):
 
 
 @functools.partial(jax.jit, static_argnames=("top_k", "sq4"))
-def _score_union_block(qbf, qsum, block, row_list, member, scale,
+def _score_union_block(qbf, qsum, block, row_valid, scale,
                        *, top_k: int, sq4: bool = False):
     """Score one streamed union block of inverted-list rows for the whole
-    batch, masked per query to the lists that query probed.
+    batch — UNION semantics: every query scores the batch's whole
+    probed-list union (a candidate superset of its own probed lists),
+    exactly like the in-HBM packed scans (ops/ivf_pack). The per-query
+    membership mask this kernel once applied was a [B, R] device gather
+    measured at 70 ms per 64k-row block (vs 0.06 ms unmasked) — it
+    DOMINATED the beyond-HBM serve and only ever removed candidates.
 
-    block: [R, D] int8; row_list: [R] COMPACT list index per row (position
-    in the batch's unique-probed-list set; -1 = padding);
-    member: [B, U] uint8 probe bitmap over the U unique probed lists (NOT
-    over all nlist lists — at reference scale nlist reaches 2^20 and a
-    dense [B, nlist] bitmap would dominate the upload this path exists to
-    avoid)."""
+    block: [R, D] int8; row_valid: [R] int32, >= 0 for real rows, -1 for
+    tail padding."""
     if sq4:
         # packed nibbles (ops/quant.float_to_int4): high nibble = first
         # half of the feature dim; scale/qsum carry the INT4 affine
@@ -210,13 +211,7 @@ def _score_union_block(qbf, qsum, block, row_list, member, scale,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
     s = s / scale + qsum[:, None]
-    b = qbf.shape[0]
-    rl = jnp.clip(row_list, 0)
-    ok = (row_list >= 0)[None, :] & (
-        jnp.take_along_axis(
-            member, jnp.broadcast_to(rl[None, :], (b, row_list.shape[0])),
-            axis=1) > 0)
-    s = jnp.where(ok, s, NEG_INF)
+    s = jnp.where((row_valid >= 0)[None, :], s, NEG_INF)
     vals, ids = jax.lax.top_k(s, min(top_k, s.shape[1]))
     return vals, ids.astype(jnp.int32)
 
@@ -230,7 +225,9 @@ class TieredIVF:
     Only the coarse centroids are device-resident. Per batch: probe on
     device, read the probed lists' contiguous byte ranges from the memmap
     (one slice per unique list — the exact IO pattern of on-disk invlists),
-    stream them up in fixed-size blocks, score+mask on device, merge top-k.
+    stream them up in fixed-size blocks, score on device (union semantics:
+    each query scores the batch's whole probed-list union, a candidate
+    superset — same contract as the in-HBM packed scans), merge top-k.
     One small device→host sync per batch (the probe ids) is inherent to
     host-side IO — the reference pays the same to read its mmap'd lists.
 
@@ -367,14 +364,6 @@ class TieredIVF:
         starts, ends = offs[uniq], offs[uniq + 1]
         lens = ends - starts
         self._advise_ranges(starts, ends)
-        # membership over COMPACT unique-list indices: [B, U], not
-        # [B, nlist] (uniq is sorted, so searchsorted is the remap). U is
-        # padded to a power-of-two bucket so _score_union_block's jit cache
-        # doesn't recompile for every distinct unique-list count.
-        u_pad = max(128, 1 << int(np.ceil(np.log2(max(len(uniq), 1)))))
-        member = np.zeros((b, u_pad), np.uint8)
-        member[np.arange(b)[:, None], np.searchsorted(uniq, probe_np)] = 1
-        member_dev = jax.device_put(member)
 
         if self.sq4 and self.int4_vector:
             # trained per-dim contract: fold the scale vector into the
@@ -418,13 +407,13 @@ class TieredIVF:
             list_dev = jax.device_put(blk_list)
             h2d_s += time.perf_counter() - t0
             vals, ids = _score_union_block(
-                qbf, qsum, blk_dev, list_dev, member_dev,
+                qbf, qsum, blk_dev, list_dev,
                 sc_dev, top_k=min(k, br), sq4=self.sq4)
             dev_vals.append(vals)
             dev_ids.append(ids)
             blk_rows_l.append(blk_rows.copy())
 
-        for ci, (s0, ln) in enumerate(zip(starts, lens)):
+        for s0, ln in zip(starts, lens):
             done = 0
             while done < ln:
                 if fill == 0 and len(dev_vals) >= pool:
@@ -437,7 +426,7 @@ class TieredIVF:
                 io_s += time.perf_counter() - t0
                 blk_rows[fill:fill + take] = np.arange(
                     s0 + done, s0 + done + take)
-                blk_list[fill:fill + take] = ci  # compact unique-list index
+                blk_list[fill:fill + take] = 0  # valid row (-1 = pad)
                 fill += take
                 done += take
                 if fill == br:
