@@ -58,10 +58,14 @@ def cpu_ivfpq_search(idx, queries, top_k=20, nprobe=16, refine_factor=16):
     in the C++ scan loop)."""
     cents = idx["centroids"]  # [nlist, D]
     offs = idx["list_offsets"]
-    codes = idx["codes"]  # [N, M] uint8 (memmap)
-    books = idx["pq"].codebooks  # [M, 256, dsub]
+    codes = idx["codes"]  # [N, M] uint8 (memmap; [N, M//2] when ksub=16)
+    books = idx["pq"].codebooks  # [M, ksub, dsub]
     rot = idx["rotation"]
     m = books.shape[0]
+    ksub = books.shape[1]
+    packed4 = ksub == 16  # 4-bit fast-scan codes are nibble-packed
+    if packed4:
+        from densephrases_tpu.ops.pq import unpack_nibbles
     marange = np.arange(m)
     out_ids = np.empty((queries.shape[0], top_k), np.int64)
 
@@ -80,7 +84,9 @@ def cpu_ivfpq_search(idx, queries, top_k=20, nprobe=16, refine_factor=16):
             lo, hi = int(offs[li]), int(offs[li + 1])
             if hi <= lo:
                 continue
-            c = np.asarray(codes[lo:hi])  # [rows, M]
+            c = np.asarray(codes[lo:hi])  # [rows, M] (or packed [rows, M//2])
+            if packed4:
+                c = unpack_nibbles(c)  # [rows, M] values < 16
             s = lut[marange[None, :], c].sum(1)  # LUT scan
             if idx["pq_residual"]:
                 s += float(queries[qi] @ cents[li])
