@@ -652,3 +652,40 @@ def test_ivf_4bit_save_load_round_trip(tmp_path):
     v1, i1 = ivf2.search(q, top_k=10, nprobe=16)
     assert (i0 == i1).all()
     np.testing.assert_allclose(v0, v1, atol=1e-3, rtol=0)
+
+
+@pytest.mark.parametrize("fine_quant", ["OPQ8", "OPQ16x4"])
+def test_cpu_baseline_scan_matches_device(tmp_path, fine_quant):
+    """The numpy FAISS-CPU-algorithm baseline (tools/bench_cpu_ivf) must
+    score the SAME saved index the device scans — including the 4-bit
+    nibble-packed codes — at comparable recall, or the CPU-vs-TPU
+    comparison in docs/BENCH_IVF.json is not apples-to-apples."""
+    from densephrases_tpu.tools.bench_cpu_ivf import (
+        cpu_ivfpq_search, load_index_host)
+
+    x = _clustered_data(4000, 64, seed=16)
+    codes = float_to_int8(x)
+    queries = _clustered_data(8, 64, seed=17)
+
+    flat = FlatIndex(codes, chunk=512)
+    _, exact_ids = flat.search(queries, top_k=10)
+
+    cfg = IVFConfig(num_clusters=48, fine_quant=fine_quant, kmeans_iters=5,
+                    pq_iters=4, opq_iters=2, refine_factor=8)
+    ivf = IVFIndex.build(codes, cfg)
+    _, dev_ids = ivf.search(queries, top_k=10, nprobe=16)
+    ivf.save(str(tmp_path / "idx"))
+
+    idx = load_index_host(str(tmp_path / "idx"))
+    cpu_ids = cpu_ivfpq_search(idx, queries, top_k=10, nprobe=16,
+                               refine_factor=8)
+
+    def recall(ids):
+        return np.mean([len(set(a.tolist()) & set(e.tolist())) / 10
+                        for a, e in zip(ids, exact_ids)])
+
+    r_dev, r_cpu = recall(dev_ids), recall(cpu_ids)
+    # same algorithm, same index: the host scan must not lag the device
+    # scan materially (bf16 probe vs f32 probe can flip borderline lists)
+    assert r_cpu >= r_dev - 0.1, (r_cpu, r_dev)
+    assert r_cpu >= 0.5, r_cpu
